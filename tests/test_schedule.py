@@ -104,13 +104,21 @@ class TestTorchParity:
             ("alphas", 1),
             ("alphas_cumprod", 8),
             ("sqrt_alphas_cumprod", 8),
-            ("sqrt_one_minus_alphas_cumprod", 8),
         ]:
             got = np.asarray(getattr(ours, name))
             ulps = _ulp_distance(got, theirs[name])
             assert ulps.max() <= limit, (
                 f"{name}: max ulp distance {ulps.max()} > {limit}"
             )
+
+    def test_sqrt_one_minus_relative(self):
+        """torch computes sqrt(1 - acp) after an f32 cancellation near t=0
+        (acp ~ 0.9999), costing it ~1e-4 relative accuracy there. Our f64
+        table cannot (and should not) reproduce that error bit-for-bit, so
+        this table is held to torch's own accuracy envelope instead."""
+        ours = np.asarray(make_schedule(1000).sqrt_one_minus_alphas_cumprod)
+        theirs = self._torch_tables()["sqrt_one_minus_alphas_cumprod"]
+        np.testing.assert_allclose(ours, theirs, rtol=2e-4)
 
 
 class TestCosineSchedule:
