@@ -1,0 +1,169 @@
+"""TinyGPT: a small causal LM with KV-cached decoding.
+
+The reference's guided sampler needs a base autoregressive LM for its
+ar_logits (reference src/shakespeare.py:429-470, default google/gemma-2b-it).
+In hermetic/TPU environments that HF checkpoint may be unavailable, and the
+reference's decode loop re-runs the *full* LM forward on the whole prefix for
+every token (src/shakespeare.py:448-449 — no KV cache, O(L^2) LM forwards).
+
+This module provides:
+- a self-contained causal transformer LM (pre-LN GPT block, learned
+  positional embeddings) usable as the guided sampler's base LM fallback,
+  trainable on the same corpus;
+- KV-cached single-token decoding (``tiny_gpt_decode_step``) so guided
+  generation is one ``lax.scan`` instead of a Python loop of full forwards —
+  the behavior-preserving speedup SURVEY.md §7 calls for (greedy decoding is
+  invariant to caching).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tinydiffusionmodels_tpu import ops
+from tinydiffusionmodels_tpu.models.torch_init import (
+    layernorm_apply,
+    layernorm_params,
+    linear_apply,
+    linear_params,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TinyGPTConfig:
+    vocab_size: int
+    dim: int = 256
+    n_heads: int = 4
+    depth: int = 4
+    max_len: int = 256
+    ffn_mult: int = 4
+
+
+def _init_block(key: jax.Array, cfg: TinyGPTConfig) -> dict:
+    k = jax.random.split(key, 4)
+    d = cfg.dim
+    return {
+        "ln1": layernorm_params(d),
+        "attn": {
+            "qkv": linear_params(k[0], d, 3 * d),
+            "proj": linear_params(k[1], d, d),
+        },
+        "ln2": layernorm_params(d),
+        "mlp": {
+            "fc": linear_params(k[2], d, cfg.ffn_mult * d),
+            "proj": linear_params(k[3], cfg.ffn_mult * d, d),
+        },
+    }
+
+
+def init_tiny_gpt(key: jax.Array, cfg: TinyGPTConfig) -> dict:
+    keys = jax.random.split(key, cfg.depth + 3)
+    return {
+        "tok_emb": 0.02 * jax.random.normal(keys[0], (cfg.vocab_size, cfg.dim)),
+        "pos_emb": 0.01 * jax.random.normal(keys[1], (cfg.max_len, cfg.dim)),
+        "blocks": tuple(_init_block(k, cfg) for k in keys[2:-1]),
+        "ln_f": layernorm_params(cfg.dim),
+        "lm_head": linear_params(keys[-1], cfg.dim, cfg.vocab_size, bias=False),
+    }
+
+
+def _split_heads(a: jax.Array, n_heads: int) -> jax.Array:
+    b, l, d = a.shape
+    return a.reshape(b, l, n_heads, d // n_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(a: jax.Array) -> jax.Array:
+    b, h, l, dh = a.shape
+    return a.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+
+
+def tiny_gpt_apply(params: dict, ids: jax.Array, cfg: TinyGPTConfig) -> jax.Array:
+    """Full causal forward. ids: (B, L) int -> logits (B, L, V)."""
+    b, l = ids.shape
+    x = jnp.take(params["tok_emb"], ids, axis=0) + params["pos_emb"][:l]
+    causal = jnp.tril(jnp.ones((l, l), dtype=bool))[None, None]
+    for blk in params["blocks"]:
+        h = layernorm_apply(blk["ln1"], x)
+        qkv = linear_apply(blk["attn"]["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn = ops.attention(
+            _split_heads(q, cfg.n_heads),
+            _split_heads(k, cfg.n_heads),
+            _split_heads(v, cfg.n_heads),
+            mask=causal,
+        )
+        x = x + linear_apply(blk["attn"]["proj"], _merge_heads(attn))
+        h = layernorm_apply(blk["ln2"], x)
+        x = x + linear_apply(
+            blk["mlp"]["proj"], jax.nn.gelu(linear_apply(blk["mlp"]["fc"], h))
+        )
+    x = layernorm_apply(params["ln_f"], x)
+    return linear_apply(params["lm_head"], x)
+
+
+def tiny_gpt_init_cache(cfg: TinyGPTConfig, batch: int) -> dict:
+    """KV cache pytree: per-layer (B, H, max_len, Dh) k/v plus a position."""
+    dh = cfg.dim // cfg.n_heads
+    shape = (cfg.depth, batch, cfg.n_heads, cfg.max_len, dh)
+    return {
+        "k": jnp.zeros(shape, dtype=jnp.float32),
+        "v": jnp.zeros(shape, dtype=jnp.float32),
+        "pos": jnp.zeros((), dtype=jnp.int32),
+    }
+
+
+def tiny_gpt_decode_step(
+    params: dict,
+    cache: dict,
+    token: jax.Array,
+    cfg: TinyGPTConfig,
+) -> tuple[jax.Array, dict]:
+    """One KV-cached decode step. token: (B,) int -> (logits (B, V), cache).
+
+    Static shapes throughout (cache is max_len long, masked by position), so
+    this is scannable: the whole guided decode loop compiles to one XLA
+    while/scan program instead of Python-driven per-token dispatches.
+    """
+    b = token.shape[0]
+    pos = cache["pos"]
+    dh = cfg.dim // cfg.n_heads
+    x = jnp.take(params["tok_emb"], token, axis=0)[:, None, :]  # (B, 1, D)
+    x = x + jax.lax.dynamic_slice_in_dim(params["pos_emb"], pos, 1, axis=0)
+
+    new_k, new_v = [], []
+    # valid[j] = (j <= pos): attend to filled cache slots plus ourselves.
+    valid = (jnp.arange(cfg.max_len) <= pos)[None, None, None, :]  # (1,1,1,T)
+
+    for i, blk in enumerate(params["blocks"]):
+        h = layernorm_apply(blk["ln1"], x)
+        qkv = linear_apply(blk["attn"]["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)  # (B,H,1,Dh)
+        k = k.reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)
+
+        k_cache = jax.lax.dynamic_update_slice(
+            cache["k"][i], k, (0, 0, pos, 0)
+        )  # (B,H,T,Dh)
+        v_cache = jax.lax.dynamic_update_slice(cache["v"][i], v, (0, 0, pos, 0))
+        new_k.append(k_cache)
+        new_v.append(v_cache)
+
+        attn = ops.attention(q, k_cache, v_cache, mask=valid)  # (B,H,1,Dh)
+        x = x + linear_apply(blk["attn"]["proj"], _merge_heads(attn))
+        h = layernorm_apply(blk["ln2"], x)
+        x = x + linear_apply(
+            blk["mlp"]["proj"], jax.nn.gelu(linear_apply(blk["mlp"]["fc"], h))
+        )
+
+    x = layernorm_apply(params["ln_f"], x)
+    logits = linear_apply(params["lm_head"], x)[:, 0, :]  # (B, V)
+    new_cache = {
+        "k": jnp.stack(new_k),
+        "v": jnp.stack(new_v),
+        "pos": pos + 1,
+    }
+    return logits, new_cache

@@ -1,0 +1,164 @@
+"""TinyTransformer: the epsilon-prediction denoiser for text diffusion.
+
+Functional rebuild of reference src/shakespeare.py:105-120: a torch
+nn.TransformerEncoder(d_model=dim, nhead=4, num_layers=3, dropout=p,
+batch_first=True) with torch defaults — post-LayerNorm, ReLU feed-forward of
+width 2048, attention-weight dropout — plus the reference's additions:
+time conditioning as Linear(1, dim) of t/T added as a per-sequence bias, and
+input dropout. Bidirectional (no causal mask), no positional encoding, as in
+the reference.
+
+Parameter layout is JAX-native ((in, out) linears, fused (d, 3d) qkv); the
+.pth bridge maps to torch's ``encoder.layers.N.self_attn.in_proj_weight``
+names/layouts at the boundary (io/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tinydiffusionmodels_tpu import ops
+from tinydiffusionmodels_tpu.core.rng import substream
+from tinydiffusionmodels_tpu.models.torch_init import (
+    dropout,
+    layernorm_apply,
+    layernorm_params,
+    linear_apply,
+    linear_params,
+    xavier_uniform,
+)
+
+# torch nn.TransformerEncoderLayer default feed-forward width.
+FFN_DIM = 2048
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    dim: int
+    n_heads: int = 4          # reference src/shakespeare.py:106
+    depth: int = 3
+    dropout: float = 0.1
+    ffn_dim: int = FFN_DIM
+    timesteps: int = 1000
+
+
+def _init_layer(key: jax.Array, cfg: TransformerConfig) -> dict:
+    d = cfg.dim
+    k = jax.random.split(key, 6)
+    return {
+        "self_attn": {
+            # torch MHA: xavier_uniform in_proj, zero biases, Linear-default
+            # out_proj weight (see models/torch_init.py docstring).
+            "in_proj": {
+                "w": xavier_uniform(k[0], (d, 3 * d), fan_in=d, fan_out=3 * d),
+                "b": jnp.zeros((3 * d,)),
+            },
+            "out_proj": {
+                "w": linear_params(k[1], d, d)["w"],
+                "b": jnp.zeros((d,)),
+            },
+        },
+        "linear1": linear_params(k[2], d, cfg.ffn_dim),
+        "linear2": linear_params(k[3], cfg.ffn_dim, d),
+        "norm1": layernorm_params(d),
+        "norm2": layernorm_params(d),
+    }
+
+
+def init_tiny_transformer(key: jax.Array, cfg: TransformerConfig) -> dict:
+    keys = jax.random.split(key, cfg.depth + 1)
+    return {
+        "time_emb": linear_params(keys[0], 1, cfg.dim),
+        "layers": tuple(_init_layer(k, cfg) for k in keys[1:]),
+    }
+
+
+def _mha(
+    p: dict,
+    x: jax.Array,
+    cfg: TransformerConfig,
+    *,
+    deterministic: bool,
+    key: jax.Array | None,
+) -> jax.Array:
+    """Self-attention matching torch nn.MultiheadAttention semantics."""
+    b, l, d = x.shape
+    dh = d // cfg.n_heads
+    qkv = linear_apply(p["in_proj"], x)  # (B, L, 3D)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(a):  # (B, L, D) -> (B, H, L, Dh)
+        return a.reshape(b, l, cfg.n_heads, dh).transpose(0, 2, 1, 3)
+
+    out = ops.attention(
+        heads(q),
+        heads(k),
+        heads(v),
+        dropout_rate=0.0 if deterministic else cfg.dropout,
+        dropout_key=None if deterministic else substream(key, "attn_weights"),
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+    return linear_apply(p["out_proj"], out)
+
+
+def _encoder_layer(
+    p: dict,
+    x: jax.Array,
+    cfg: TransformerConfig,
+    *,
+    deterministic: bool,
+    key: jax.Array | None,
+) -> jax.Array:
+    """Post-LN torch TransformerEncoderLayer (norm_first=False, relu)."""
+    sa = _mha(p["self_attn"], x, cfg, deterministic=deterministic, key=key)
+    sa = dropout(
+        None if deterministic else substream(key, "dropout1"),
+        sa, cfg.dropout, deterministic=deterministic,
+    )
+    x = layernorm_apply(p["norm1"], x + sa)
+
+    ff = jax.nn.relu(linear_apply(p["linear1"], x))
+    ff = dropout(
+        None if deterministic else substream(key, "dropout_ffn"),
+        ff, cfg.dropout, deterministic=deterministic,
+    )
+    ff = linear_apply(p["linear2"], ff)
+    ff = dropout(
+        None if deterministic else substream(key, "dropout2"),
+        ff, cfg.dropout, deterministic=deterministic,
+    )
+    return layernorm_apply(p["norm2"], x + ff)
+
+
+def tiny_transformer_apply(
+    params: dict,
+    x: jax.Array,
+    t: jax.Array,
+    cfg: TransformerConfig,
+    *,
+    deterministic: bool = True,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """x: (B, L, dim) noisy embeddings; t: (B,) int timesteps -> eps_hat.
+
+    Mirrors reference src/shakespeare.py:115-120: additive time bias, input
+    dropout, then the encoder stack.
+    """
+    if not deterministic and key is None:
+        raise ValueError("training mode requires a PRNG key")
+    t_scaled = (t.astype(x.dtype) / cfg.timesteps)[:, None]      # (B, 1)
+    time_bias = linear_apply(params["time_emb"], t_scaled)[:, None, :]
+    x = x + time_bias
+    x = dropout(
+        None if deterministic else substream(key, "input_dropout"),
+        x, cfg.dropout, deterministic=deterministic,
+    )
+    for i, layer in enumerate(params["layers"]):
+        layer_key = None if deterministic else jax.random.fold_in(key, i)
+        x = _encoder_layer(
+            layer, x, cfg, deterministic=deterministic, key=layer_key
+        )
+    return x

@@ -1,0 +1,73 @@
+"""Backend dispatch for hot ops: 'xla' reference vs 'pallas' TPU kernels.
+
+Selection order:
+1. explicit ``set_backend(...)`` call,
+2. ``TDM_KERNELS`` env var ('xla' | 'pallas' | 'auto'),
+3. 'auto': pallas on TPU backends, xla elsewhere.
+
+Pallas kernels register lazily (import cost + TPU-only); any op a backend
+doesn't provide falls through to the XLA reference, so partial Pallas
+coverage is fine.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+
+from tinydiffusionmodels_tpu.ops import xla_ref
+
+_override: str | None = None
+
+
+def set_backend(name: str | None) -> None:
+    """Force an op backend ('xla', 'pallas') or None to restore auto."""
+    global _override
+    if name not in (None, "xla", "pallas"):
+        raise ValueError(f"unknown ops backend: {name!r}")
+    _override = name
+
+
+def get_backend() -> str:
+    if _override is not None:
+        return _override
+    env = os.environ.get("TDM_KERNELS", "auto")
+    if env in ("xla", "pallas"):
+        return env
+    # auto: pallas only where Mosaic runs.
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
+
+
+def _pallas_module():
+    from tinydiffusionmodels_tpu.ops import pallas_kernels
+
+    return pallas_kernels
+
+
+def _dispatch(op_name: str) -> Any:
+    if get_backend() == "pallas":
+        mod = _pallas_module()
+        fn = getattr(mod, op_name, None)
+        if fn is not None:
+            return fn
+    return getattr(xla_ref, op_name)
+
+
+def conv2d(x, w, b=None, *, stride: int = 1, padding: str = "SAME"):
+    return _dispatch("conv2d")(x, w, b, stride=stride, padding=padding)
+
+
+def fused_resblock(x, p, time_bias):
+    return _dispatch("fused_resblock")(x, p, time_bias)
+
+
+def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0, dropout_key=None):
+    return _dispatch("attention")(
+        q, k, v, mask=mask, dropout_rate=dropout_rate, dropout_key=dropout_key
+    )

@@ -1,0 +1,88 @@
+"""Pure-XLA reference implementations of the framework's hot ops.
+
+These are the semantics contract for the Pallas kernels (ops/pallas/*) and
+the default backend off-TPU. XLA already fuses elementwise chains into the
+convs/matmuls here; the Pallas versions exist to beat XLA where manual
+scheduling wins (attention softmax fusion, conv+bias+time-bias+relu chains
+on the tiny UNet shapes).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    stride: int = 1,
+    padding: str = "SAME",
+) -> jax.Array:
+    """2-D convolution, NHWC activations, HWIO kernel.
+
+    TPU-native layout choice: channels-last keeps the channel dim on the
+    128-lane axis (the torch reference uses NCHW — src/mnist.py:48-49).
+    """
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def fused_resblock(
+    x: jax.Array,
+    p: dict,
+    time_bias: jax.Array,
+) -> jax.Array:
+    """Residual block: relu(conv1(x)) + t_bias -> relu(conv2(.)) + skip(x).
+
+    Matches reference src/mnist.py:56-61. ``time_bias`` is (B, 1, 1, C_out).
+    ``p`` holds conv1/conv2 (+ optional skip) params in HWIO layout.
+    """
+    h = jax.nn.relu(conv2d(x, p["conv1"]["w"], p["conv1"]["b"]))
+    h = h + time_bias
+    h = jax.nn.relu(conv2d(h, p["conv2"]["w"], p["conv2"]["b"]))
+    if p.get("skip") is not None:
+        x = conv2d(x, p["skip"]["w"], p["skip"]["b"])
+    return h + x
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: jax.Array | None = None,
+    dropout_rate: float = 0.0,
+    dropout_key: jax.Array | None = None,
+) -> jax.Array:
+    """Scaled dot-product attention over (B, H, L, Dh) tensors.
+
+    Bidirectional by default (the reference's denoiser uses no causal mask —
+    src/shakespeare.py:108-111); pass ``mask`` (broadcastable to (B,H,L,L),
+    True = keep) for causal LM use. Attention-weight dropout matches torch's
+    nn.MultiheadAttention training behavior.
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    weights = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 requires dropout_key")
+        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
+    weights = weights.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
