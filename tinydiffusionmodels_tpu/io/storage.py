@@ -1,0 +1,156 @@
+"""Transparent local/GCS artifact and checkpoint storage.
+
+Parity surface with reference src/utils.py:11-141, reimplemented
+framework-neutral: checkpoints go through the dependency-free torch-pickle
+codec (io/torch_pickle.py) instead of torch.save/torch.load, and the GCS
+client import is lazy so core training never touches google-cloud-storage.
+
+Behavioral contracts preserved:
+- gs:// paths are staged through a NamedTemporaryFile and always unlinked
+  (src/utils.py:47-83).
+- GCS failures are wrapped in RuntimeError with the same message shape
+  (src/utils.py:58-59,77-78).
+- ``get_samples_dir`` returns a *str* for gs:// (Path would mangle the
+  double slash) and a Path otherwise (src/utils.py:127-141).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from pathlib import Path
+from typing import Any, Union
+
+from tinydiffusionmodels_tpu.io.torch_pickle import torch_load, torch_save
+
+PathLike = Union[str, Path]
+
+
+def is_gcs_path(path: PathLike) -> bool:
+    """Check if path is a Google Cloud Storage path (src/utils.py:11-13)."""
+    return str(path).startswith("gs://")
+
+
+def parse_gcs_path(gcs_path: str) -> tuple[str, str]:
+    """Split gs://bucket/blob into (bucket, blob) (src/utils.py:16-24)."""
+    if not str(gcs_path).startswith("gs://"):
+        raise ValueError(f"Not a GCS path: {gcs_path}")
+    path_parts = str(gcs_path)[5:].split("/", 1)
+    bucket_name = path_parts[0]
+    blob_name = path_parts[1] if len(path_parts) > 1 else ""
+    return bucket_name, blob_name
+
+
+def _gcs_client():
+    from google.cloud import storage  # lazy: only needed for gs:// paths
+
+    return storage.Client()
+
+
+def download_from_gcs(gcs_path: str, local_path: str) -> None:
+    """Download a GCS object to a local file (src/utils.py:27-33)."""
+    bucket_name, blob_name = parse_gcs_path(gcs_path)
+    client = _gcs_client()
+    client.bucket(bucket_name).blob(blob_name).download_to_filename(local_path)
+
+
+def upload_to_gcs(local_path: str, gcs_path: str) -> None:
+    """Upload a local file to GCS (src/utils.py:36-42)."""
+    bucket_name, blob_name = parse_gcs_path(gcs_path)
+    client = _gcs_client()
+    client.bucket(bucket_name).blob(blob_name).upload_from_filename(local_path)
+
+
+def load_checkpoint(ckpt_path: PathLike, device: str | None = None) -> Any:
+    """Load a .pth checkpoint from local disk or GCS (src/utils.py:47-63).
+
+    Returns numpy-leafed containers. ``device`` is accepted for signature
+    parity; array placement is the caller's concern in JAX.
+    """
+    ckpt_path = str(ckpt_path)
+    if is_gcs_path(ckpt_path):
+        with tempfile.NamedTemporaryFile(suffix=".pth", delete=False) as tmp:
+            try:
+                print(f"Downloading checkpoint from GCS: {ckpt_path}")
+                download_from_gcs(ckpt_path, tmp.name)
+                return torch_load(tmp.name)
+            except Exception as e:
+                raise RuntimeError(
+                    f"Failed to download checkpoint from {ckpt_path}: {e}"
+                )
+            finally:
+                os.unlink(tmp.name)
+    return torch_load(ckpt_path)
+
+
+def save_checkpoint(model_state: Any, ckpt_path: PathLike) -> None:
+    """Save a checkpoint to local disk or GCS (src/utils.py:66-83)."""
+    ckpt_path = str(ckpt_path)
+    if is_gcs_path(ckpt_path):
+        with tempfile.NamedTemporaryFile(suffix=".pth", delete=False) as tmp:
+            try:
+                torch_save(model_state, tmp.name)
+                print(f"Uploading checkpoint to GCS: {ckpt_path}")
+                upload_to_gcs(tmp.name, ckpt_path)
+                print(f"✔ Uploaded checkpoint to {ckpt_path}")
+            except Exception as e:
+                raise RuntimeError(
+                    f"Failed to upload checkpoint to {ckpt_path}: {e}"
+                )
+            finally:
+                os.unlink(tmp.name)
+    else:
+        torch_save(model_state, ckpt_path)
+        print(f"✔ Saved checkpoint to {ckpt_path}")
+
+
+def save_samples(content: Union[str, bytes], sample_path: PathLike,
+                 mode: str = "w") -> None:
+    """Write a text/binary sample artifact locally or to GCS
+    (src/utils.py:86-117)."""
+    sample_path = str(sample_path)
+    if is_gcs_path(sample_path):
+        suffix = Path(sample_path).suffix
+        with tempfile.NamedTemporaryFile(
+            mode=mode, suffix=suffix, delete=False
+        ) as tmp:
+            try:
+                tmp.write(content)
+                tmp.flush()
+                tmp.close()
+                print(f"Uploading sample to GCS: {sample_path}")
+                upload_to_gcs(tmp.name, sample_path)
+                print(f"✔ Uploaded sample to {sample_path}")
+            except Exception as e:
+                raise RuntimeError(
+                    f"Failed to upload sample to {sample_path}: {e}"
+                )
+            finally:
+                os.unlink(tmp.name)
+    else:
+        Path(sample_path).parent.mkdir(parents=True, exist_ok=True)
+        if isinstance(content, str):
+            Path(sample_path).write_text(content)
+        else:
+            Path(sample_path).write_bytes(content)
+        print(f"✔ Saved sample to {sample_path}")
+
+
+def get_vertex_checkpoint_path(base_name: str) -> str:
+    """AIP_MODEL_DIR-aware checkpoint path (src/utils.py:120-124)."""
+    if "AIP_MODEL_DIR" in os.environ:
+        return os.path.join(os.environ["AIP_MODEL_DIR"], base_name)
+    return base_name
+
+
+def get_samples_dir(base_dir: str = "samples") -> Union[str, Path]:
+    """Samples directory; str for gs:// to avoid Path normalization
+    (src/utils.py:127-141)."""
+    if "AIP_MODEL_DIR" in os.environ:
+        model_dir = os.environ["AIP_MODEL_DIR"]
+        if model_dir.startswith("gs://"):
+            clean_model_dir = model_dir.rstrip("/")
+            clean_base_dir = base_dir.strip("/")
+            return f"{clean_model_dir}/{clean_base_dir}"
+        return Path(model_dir) / base_dir
+    return Path(base_dir)
