@@ -1,0 +1,195 @@
+"""MNIST DDPM training: jitted donated train step + epoch loop.
+
+Rebuild of reference src/mnist.py:128-165. Differences by design:
+- the whole optimizer step (noise draw, q_sample, UNet fwd/bwd, AdamW update)
+  is ONE jitted XLA program with donated state — no per-step host sync
+  (the reference calls loss.item() every step, src/mnist.py:160);
+- data parallelism comes from sharding the batch over the mesh 'data' axis;
+  GSPMD inserts the gradient psum over ICI;
+- per-epoch sample grids run through the scanned sampler (sample/ancestral).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tinydiffusionmodels_tpu.core import DiffusionSchedule, make_schedule, q_sample
+from tinydiffusionmodels_tpu.core.rng import substream
+from tinydiffusionmodels_tpu.data.loader import batch_iterator
+from tinydiffusionmodels_tpu.data.mnist import load_mnist, normalize_mnist
+from tinydiffusionmodels_tpu.io import (
+    get_samples_dir,
+    get_vertex_checkpoint_path,
+    save_checkpoint,
+    save_samples,
+)
+from tinydiffusionmodels_tpu.io.checkpoint import unet_to_state_dict
+from tinydiffusionmodels_tpu.io.images import grid_png
+from tinydiffusionmodels_tpu.models import init_unet, unet_apply
+from tinydiffusionmodels_tpu.parallel import make_mesh, replicate_tree, shard_batch
+from tinydiffusionmodels_tpu.sample.ancestral import sample_loop
+from tinydiffusionmodels_tpu.train.optim import adamw
+from tinydiffusionmodels_tpu.train.state import TrainState
+
+
+def make_train_step(
+    sched: DiffusionSchedule, tx
+) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, jax.Array]]:
+    """Build the jitted train step: (state, batch NHWC, key) -> (state, loss)."""
+
+    def loss_fn(params, batch, key):
+        b = batch.shape[0]
+        t = jax.random.randint(
+            substream(key, "timesteps"), (b,), 0, sched.timesteps
+        )
+        noise = jax.random.normal(substream(key, "noise"), batch.shape)
+        x_noisy = q_sample(sched, batch, t, noise)
+        eps_pred = unet_apply(params, x_noisy, t, timesteps=sched.timesteps)
+        return jnp.mean((eps_pred - noise) ** 2)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+def sample_grid_png(
+    params,
+    sched: DiffusionSchedule,
+    key: jax.Array,
+    *,
+    n_samples: int = 25,
+    method: str = "ancestral",
+    num_steps: int | None = None,
+) -> bytes:
+    """Draw n_samples digits via the scanned sampler and encode the PNG grid
+    (reference src/mnist.py:99-126 without the torchvision/tempfile detour)."""
+    denoise = lambda x, t: unet_apply(params, x, t, timesteps=sched.timesteps)
+    x = jax.jit(
+        lambda k: sample_loop(
+            denoise, sched, (n_samples, 28, 28, 1), k,
+            method=method, num_steps=num_steps,
+        )
+    )(key)
+    imgs = (np.asarray(x)[..., 0].clip(-1, 1) + 1) / 2  # [-1,1] -> [0,1]
+    return grid_png(imgs, nrow=int(math.sqrt(n_samples)))
+
+
+def train(
+    *,
+    epochs: int = 5,
+    batch_size: int = 128,
+    lr: float = 1e-3,
+    ckpt_path: str = "ckpt.pth",
+    sample_every_epoch: bool = True,
+    samples_per_epoch: int = 25,
+    seed: int = 0,
+    data_root: str = "./data",
+    mesh=None,
+    log_fn=print,
+) -> dict:
+    """Full training run (reference src/mnist.py:128-165 surface).
+
+    Returns the final params pytree. Saves a torch-format bare state_dict
+    checkpoint, exactly the reference's format (src/mnist.py:165).
+    """
+    ckpt_path = (
+        get_vertex_checkpoint_path("image-model.pth")
+        if "AIP_MODEL_DIR" in os.environ
+        else ckpt_path
+    )
+    images, _, source = load_mnist(data_root, train=True)
+    if source == "synthetic":
+        log_fn("[data] MNIST unavailable -> deterministic synthetic digits")
+    data = normalize_mnist(images)
+
+    sched = make_schedule()
+    tx = adamw(lr, weight_decay=0.01)  # torch AdamW default wd, src/mnist.py:148
+    key = jax.random.PRNGKey(seed)
+    params = init_unet(substream(key, "init"))
+
+    if mesh is None:
+        mesh = make_mesh()
+    state = TrainState.create(params, tx)
+    state = replicate_tree(mesh, state)
+    train_step = make_train_step(sched, tx)
+
+    global_bs = batch_size
+    steps_per_epoch = data.shape[0] // global_bs
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        epoch_loss = 0.0
+        nsteps = 0
+        for i, batch in enumerate(
+            batch_iterator(data, global_bs, seed=seed, epoch=epoch)
+        ):
+            batch = shard_batch(mesh, jnp.asarray(batch))
+            step_key = jax.random.fold_in(
+                substream(key, "train"), epoch * steps_per_epoch + i
+            )
+            state, loss = train_step(state, batch, step_key)
+            if i % 50 == 0:  # occasional async fetch, not per step
+                epoch_loss = float(loss)
+            nsteps += 1
+        dt = time.perf_counter() - t0
+        log_fn(
+            f"Epoch {epoch + 1}/{epochs}: {nsteps} steps in {dt:.1f}s "
+            f"({nsteps / dt:.1f} it/s), loss~{float(loss):.4f}"
+        )
+        if sample_every_epoch:
+            png = sample_grid_png(
+                state.params, sched, substream(jax.random.fold_in(key, epoch), "sample"),
+                n_samples=samples_per_epoch,
+            )
+            samples_dir = get_samples_dir("samples")
+            if isinstance(samples_dir, str):
+                sample_path = f"{samples_dir}/epoch_{epoch + 1:03d}.png"
+            else:
+                sample_path = samples_dir / f"epoch_{epoch + 1:03d}.png"
+            save_samples(png, sample_path, mode="wb")
+            log_fn(f"[epoch {epoch + 1}] saved samples to {sample_path}")
+
+    save_checkpoint(unet_to_state_dict(jax.device_get(state.params)), ckpt_path)
+    return jax.device_get(state.params)
+
+
+def sample(
+    *,
+    n_samples: int = 25,
+    ckpt_path: str = "ckpt.pth",
+    outdir: str = "samples",
+    seed: int = 0,
+    method: str = "ancestral",
+    num_steps: int | None = None,
+    log_fn=print,
+) -> None:
+    """Standalone sampling from a checkpoint (reference src/mnist.py:183-212)."""
+    from tinydiffusionmodels_tpu.io import load_checkpoint
+    from tinydiffusionmodels_tpu.io.checkpoint import unet_from_state_dict
+
+    params = unet_from_state_dict(load_checkpoint(ckpt_path))
+    sched = make_schedule()
+    png = sample_grid_png(
+        params, sched, jax.random.PRNGKey(seed),
+        n_samples=n_samples, method=method, num_steps=num_steps,
+    )
+    samples_dir = get_samples_dir(outdir)
+    if isinstance(samples_dir, str):
+        sample_path = f"{samples_dir}/samples.png"
+    else:
+        sample_path = samples_dir / "samples.png"
+    save_samples(png, sample_path, mode="wb")
+    log_fn(f"Saved samples to {sample_path}")

@@ -1,0 +1,309 @@
+"""Shakespeare embedding-space diffusion training.
+
+Rebuild of reference src/shakespeare.py:174-341: joint AdamW over the
+transformer denoiser + learned rounding head (+ learned embeddings), loss =
+eps-MSE + weight(epoch) * rounding-CE, cosine-warmup LR schedule, per-epoch
+validation, early stopping on val total loss, best + final multi-model
+checkpoints in the reference's dict format.
+
+TPU-native: one jitted donated train step for the joint model; the dynamic
+rounding weight enters as a traced scalar (no recompile per epoch); val pass
+is a second jitted function; losses accumulate on device.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tinydiffusionmodels_tpu.core import DiffusionSchedule, q_sample
+from tinydiffusionmodels_tpu.core.rng import substream
+from tinydiffusionmodels_tpu.data.loader import batch_iterator, num_batches
+from tinydiffusionmodels_tpu.io import (
+    get_vertex_checkpoint_path,
+    save_checkpoint,
+)
+from tinydiffusionmodels_tpu.io.checkpoint import (
+    embedding_to_state_dict,
+    rounding_to_state_dict,
+    transformer_to_state_dict,
+)
+from tinydiffusionmodels_tpu.models import (
+    embedding_apply,
+    rounding_apply,
+    tiny_transformer_apply,
+)
+from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
+from tinydiffusionmodels_tpu.parallel import make_mesh, replicate_tree, shard_batch
+from tinydiffusionmodels_tpu.train.optim import (
+    adamw,
+    cosine_schedule_with_warmup,
+    dynamic_rounding_weight_schedule,
+)
+from tinydiffusionmodels_tpu.train.state import TrainState
+
+
+def _losses(
+    joint_params: dict,
+    token_ids: jax.Array,
+    t: jax.Array,
+    noise: jax.Array,
+    rounding_weight: jax.Array,
+    *,
+    cfg: TransformerConfig,
+    sched: DiffusionSchedule,
+    use_learned_embeddings: bool,
+    pretrained_matrix: jax.Array | None,
+    deterministic: bool,
+    key: jax.Array | None,
+):
+    """Joint diffusion + rounding loss (reference src/shakespeare.py:224-243)."""
+    if use_learned_embeddings:
+        x0 = embedding_apply(joint_params["embedding_fn"], token_ids)
+    else:
+        x0 = jnp.take(pretrained_matrix, token_ids, axis=0)
+    x_noisy = q_sample(sched, x0, t, noise)
+    eps_pred = tiny_transformer_apply(
+        joint_params["diffusion_model"], x_noisy, t, cfg,
+        deterministic=deterministic, key=key,
+    )
+    diffusion_loss = jnp.mean((eps_pred - noise) ** 2)
+
+    logits = rounding_apply(joint_params["rounding_fn"], x0)  # (B, L, V)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    rounding_loss = -jnp.mean(
+        jnp.take_along_axis(logp, token_ids[..., None], axis=-1)
+    )
+    total = diffusion_loss + rounding_weight * rounding_loss
+    return total, (diffusion_loss, rounding_loss)
+
+
+def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
+                         pretrained_matrix=None):
+    """(state, tokens (B,L), weight, key) -> (state, (diff, round, total))."""
+
+    def loss_fn(params, token_ids, rounding_weight, key):
+        b = token_ids.shape[0]
+        t = jax.random.randint(
+            substream(key, "timesteps"), (b,), 0, sched.timesteps
+        )
+        if use_learned_embeddings:
+            dim = params["embedding_fn"]["weight"].shape[1]
+        else:
+            dim = pretrained_matrix.shape[1]
+        noise = jax.random.normal(
+            substream(key, "noise"), (b, token_ids.shape[1], dim)
+        )
+        return _losses(
+            params, token_ids, t, noise, rounding_weight,
+            cfg=cfg, sched=sched,
+            use_learned_embeddings=use_learned_embeddings,
+            pretrained_matrix=pretrained_matrix,
+            deterministic=False, key=substream(key, "dropout"),
+        )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, token_ids, rounding_weight, key):
+        (total, (diff, round_)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, token_ids, rounding_weight, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        return new_state, (diff, round_, total)
+
+    return train_step
+
+
+def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
+                        pretrained_matrix=None):
+    @jax.jit
+    def eval_step(params, token_ids, rounding_weight, key):
+        b = token_ids.shape[0]
+        t = jax.random.randint(
+            substream(key, "timesteps"), (b,), 0, sched.timesteps
+        )
+        if use_learned_embeddings:
+            dim = params["embedding_fn"]["weight"].shape[1]
+        else:
+            dim = pretrained_matrix.shape[1]
+        noise = jax.random.normal(
+            substream(key, "noise"), (b, token_ids.shape[1], dim)
+        )
+        total, (diff, round_) = _losses(
+            params, token_ids, t, noise, rounding_weight,
+            cfg=cfg, sched=sched,
+            use_learned_embeddings=use_learned_embeddings,
+            pretrained_matrix=pretrained_matrix,
+            deterministic=True, key=None,
+        )
+        return diff, round_, total
+
+    return eval_step
+
+
+def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
+                     extra: dict | None = None, tokenizer_state: dict | None = None) -> dict:
+    ckpt: dict[str, Any] = {
+        "diffusion_model": transformer_to_state_dict(
+            jax.device_get(params["diffusion_model"])
+        ),
+        "rounding_fn": rounding_to_state_dict(
+            jax.device_get(params["rounding_fn"])
+        ),
+        "epoch": epoch,
+    }
+    if use_learned_embeddings and "embedding_fn" in params:
+        ckpt["embedding_fn"] = embedding_to_state_dict(
+            jax.device_get(params["embedding_fn"])
+        )
+    if tokenizer_state:
+        ckpt["tokenizer"] = tokenizer_state
+    if extra:
+        ckpt.update(extra)
+    return ckpt
+
+
+def train(
+    joint_params: dict,
+    train_chunks: np.ndarray,
+    val_chunks: np.ndarray,
+    *,
+    cfg: TransformerConfig,
+    sched: DiffusionSchedule,
+    ckpt_path: str = "text_ckpt.pth",
+    epochs: int = 1,
+    batch_size: int = 32,
+    lr: float = 1e-4,
+    weight_decay: float = 1e-4,
+    rounding_weight: float = 1.0,
+    use_learned_embeddings: bool = True,
+    pretrained_matrix=None,
+    patience: int = 5,
+    use_lr_scheduling: bool = True,
+    warmup_steps: int = 100,
+    seed: int = 0,
+    mesh=None,
+    tokenizer_state: dict | None = None,
+    log_fn=print,
+) -> dict:
+    """Epoch loop with validation + early stopping
+    (reference src/shakespeare.py:174-341). Returns final params."""
+    steps_per_epoch = num_batches(train_chunks.shape[0], batch_size)
+    total_steps = steps_per_epoch * epochs
+    lr_sched = (
+        cosine_schedule_with_warmup(lr, warmup_steps, total_steps)
+        if use_lr_scheduling
+        else lr
+    )
+    tx = adamw(lr_sched, weight_decay=weight_decay)
+
+    if mesh is None:
+        mesh = make_mesh()
+    if pretrained_matrix is not None:
+        pretrained_matrix = jnp.asarray(pretrained_matrix)
+    state = replicate_tree(mesh, TrainState.create(joint_params, tx))
+    train_step = make_text_train_step(
+        sched, cfg, tx,
+        use_learned_embeddings=use_learned_embeddings,
+        pretrained_matrix=pretrained_matrix,
+    )
+    eval_step = make_text_eval_step(
+        sched, cfg,
+        use_learned_embeddings=use_learned_embeddings,
+        pretrained_matrix=pretrained_matrix,
+    )
+
+    key = jax.random.PRNGKey(seed)
+    best_val_loss = float("inf")
+    patience_counter = 0
+
+    for epoch in range(epochs):
+        w = dynamic_rounding_weight_schedule(epoch, epochs, rounding_weight)
+        w_arr = jnp.asarray(w, dtype=jnp.float32)
+
+        t0 = time.perf_counter()
+        sums = jnp.zeros((3,))
+        n = 0
+        for i, tokens in enumerate(
+            batch_iterator(train_chunks, batch_size, seed=seed, epoch=epoch)
+        ):
+            tokens = shard_batch(mesh, jnp.asarray(tokens))
+            step_key = jax.random.fold_in(
+                substream(key, "train"), epoch * steps_per_epoch + i
+            )
+            state, (d, r, t_) = train_step(state, tokens, w_arr, step_key)
+            sums = sums + jnp.stack([d, r, t_])
+            n += 1
+        train_losses = np.asarray(sums) / max(n, 1)
+        dt = time.perf_counter() - t0
+
+        vsums = jnp.zeros((3,))
+        vn = 0
+        for j, tokens in enumerate(
+            batch_iterator(val_chunks, batch_size, shuffle=False)
+        ):
+            tokens = shard_batch(mesh, jnp.asarray(tokens))
+            vkey = jax.random.fold_in(substream(key, "val"), epoch * 10_000 + j)
+            d, r, t_ = eval_step(state.params, tokens, w_arr, vkey)
+            vsums = vsums + jnp.stack([d, r, t_])
+            vn += 1
+        val_losses = np.asarray(vsums) / max(vn, 1)
+
+        log_fn(f"Epoch {epoch + 1}/{epochs} ({n} steps, {n / dt:.1f} it/s):")
+        log_fn(
+            f"  Train: diff={train_losses[0]:.4f}, round={train_losses[1]:.4f}, "
+            f"total={train_losses[2]:.4f}"
+        )
+        log_fn(
+            f"  Val:   diff={val_losses[0]:.4f}, round={val_losses[1]:.4f}, "
+            f"total={val_losses[2]:.4f}"
+        )
+        log_fn(f"  Rounding weight: {w:.3f}")
+
+        if vn and val_losses[2] < best_val_loss:
+            best_val_loss = float(val_losses[2])
+            patience_counter = 0
+            best_ckpt_path = str(ckpt_path).replace(".pth", "_best.pth")
+            save_checkpoint(
+                _checkpoint_dict(
+                    state.params, epoch=epoch,
+                    use_learned_embeddings=use_learned_embeddings,
+                    extra={"val_loss": best_val_loss},
+                    tokenizer_state=tokenizer_state,
+                ),
+                best_ckpt_path,
+            )
+            log_fn(f"  New best validation loss! Saved to {best_ckpt_path}")
+        else:
+            patience_counter += 1
+            if patience_counter >= patience:
+                log_fn(
+                    f"  Early stopping triggered after {patience} epochs "
+                    "without improvement"
+                )
+                break
+
+    final_ckpt_path = (
+        get_vertex_checkpoint_path("text-model.pth")
+        if "AIP_MODEL_DIR" in os.environ
+        else ckpt_path
+    )
+    log_fn(f"✔ Saving final checkpoint to {final_ckpt_path}...")
+    save_checkpoint(
+        _checkpoint_dict(
+            state.params, epoch=epochs,
+            use_learned_embeddings=use_learned_embeddings,
+            extra={"final_training": True},
+            tokenizer_state=tokenizer_state,
+        ),
+        final_ckpt_path,
+    )
+    return jax.device_get(state.params)
