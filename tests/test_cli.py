@@ -1,0 +1,111 @@
+"""End-to-end CLI smoke tests: the reference's public surface
+(--train/--sample/--guided_sample) runs tiny workloads to completion,
+writing real checkpoints and sample artifacts.
+
+TDM_DATA_LIMIT caps dataset size and short schedules keep these fast on the
+CPU test backend; the flows exercised are the full production code paths.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tinydiffusionmodels_tpu import mnist as mnist_cli
+from tinydiffusionmodels_tpu import shakespeare as shakespeare_cli
+
+
+@pytest.fixture()
+def workdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("TDM_DATA_LIMIT", "256")
+    monkeypatch.delenv("AIP_MODEL_DIR", raising=False)
+    return tmp_path
+
+
+class TestMnistCli:
+    def test_nothing_to_do(self, capsys, workdir):
+        mnist_cli.main([])
+        assert "Nothing to do" in capsys.readouterr().out
+
+    def test_train_then_sample(self, workdir):
+        mnist_cli.main(
+            [
+                "--train", "--epochs", "1", "--batch_size", "64",
+                "--ckpt", "ckpt.pth", "--no_epoch_samples",
+            ]
+        )
+        assert (workdir / "ckpt.pth").exists()
+
+        # Checkpoint must be torch-loadable (the .pth contract).
+        torch = pytest.importorskip("torch")
+        sd = torch.load(workdir / "ckpt.pth", map_location="cpu",
+                        weights_only=True)
+        assert "rb1.conv1.weight" in sd
+        assert tuple(sd["rb1.conv1.weight"].shape) == (32, 1, 3, 3)
+
+        mnist_cli.main(
+            ["--sample", "--ckpt", "ckpt.pth", "--sampler", "ddim",
+             "--steps", "5"]
+        )
+        png = workdir / "samples" / "samples.png"
+        assert png.exists()
+        assert png.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+class TestShakespeareCli:
+    def test_nothing_to_do(self, capsys, workdir):
+        shakespeare_cli.main([])
+        assert "Nothing to do" in capsys.readouterr().out
+
+    def test_train_sample_guided(self, workdir):
+        common = [
+            "--model_id", "char",  # force hermetic char-tokenizer path
+            "--seq_len", "16",
+            "--embed_dim", "32",
+            "--batch_size", "8",
+            "--n", "2",
+        ]
+        shakespeare_cli.main(
+            ["--train", "--epochs", "1", "--use_learned_embeddings",
+             "--warmup_steps", "2", *common]
+        )
+        assert (workdir / "text_ckpt.pth").exists()
+
+        torch = pytest.importorskip("torch")
+        ckpt = torch.load(workdir / "text_ckpt.pth", map_location="cpu",
+                          weights_only=True)
+        assert "diffusion_model" in ckpt and "rounding_fn" in ckpt
+        assert "embedding_fn" in ckpt
+        assert "encoder.layers.0.self_attn.in_proj_weight" in ckpt[
+            "diffusion_model"
+        ]
+
+        shakespeare_cli.main(
+            ["--sample", "--use_learned_embeddings", "--sampler", "ddim",
+             "--steps", "4", *common]
+        )
+        assert (workdir / "samples" / "sample_0.txt").exists()
+
+        shakespeare_cli.main(
+            ["--guided_sample", "--use_learned_embeddings",
+             "--base_lm", "tinygpt", "--lm_epochs", "1",
+             "--sampler", "ddim", "--steps", "4", "--alpha", "0.3", *common]
+        )
+        assert (workdir / "samples" / "guided_sample_0.txt").exists()
+        assert (workdir / "lm_ckpt.pth").exists()
+
+    def test_cosine_fallback_path(self, workdir):
+        common = [
+            "--model_id", "char", "--seq_len", "16", "--embed_dim", "32",
+            "--batch_size", "8", "--n", "2",
+        ]
+        shakespeare_cli.main(
+            ["--train", "--epochs", "1", "--use_learned_embeddings",
+             "--warmup_steps", "2", *common]
+        )
+        shakespeare_cli.main(
+            ["--sample", "--use_learned_embeddings", "--use_cosine_fallback",
+             "--sampler", "ddim", "--steps", "4", *common]
+        )
+        assert (workdir / "samples" / "sample_0.txt").exists()

@@ -115,7 +115,13 @@ def load_text_corpus(
         if c.is_file():
             return c.read_text(), "file"
 
-    try:  # HF path, parity with reference src/shakespeare.py:122-125
+    try:  # HF path, parity with reference src/shakespeare.py:122-125.
+        # Hermetic-first: unless downloads are explicitly allowed, only use
+        # an existing HF cache — a zero-egress pod would otherwise burn ~40s
+        # of connection retries before falling back.
+        if os.environ.get("TDM_ALLOW_DOWNLOADS") != "1":
+            os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
+            os.environ.setdefault("HF_HUB_OFFLINE", "1")
         from datasets import load_dataset  # type: ignore
 
         ds = load_dataset("tiny_shakespeare", trust_remote_code=True)

@@ -1,0 +1,75 @@
+"""MNIST diffusion CLI.
+
+Flag-for-flag parity with reference src/mnist.py:215-241:
+
+  python -m tinydiffusionmodels_tpu.mnist --train --epochs 3 --batch_size 128
+  python -m tinydiffusionmodels_tpu.mnist --sample --ckpt ckpt.pth
+
+Additions beyond the reference: --sampler ddim --steps N (accelerated
+sampling), --seed, --data_root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from tinydiffusionmodels_tpu.io import get_vertex_checkpoint_path
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--train", action="store_true", help="Train the model")
+    parser.add_argument("--sample", action="store_true", help="Generate samples")
+    parser.add_argument("--epochs", type=int, default=3)
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument(
+        "--ckpt",
+        type=str,
+        default=get_vertex_checkpoint_path("image-model.pth")
+        if "AIP_MODEL_DIR" in os.environ
+        else "ckpt.pth",
+    )
+    # Framework extensions (not in the reference surface):
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_root", type=str, default="./data")
+    parser.add_argument(
+        "--sampler", type=str, default="ancestral", choices=["ancestral", "ddim"]
+    )
+    parser.add_argument(
+        "--steps", type=int, default=None,
+        help="sampler steps (ddim); ancestral always runs the full schedule",
+    )
+    parser.add_argument(
+        "--no_epoch_samples", action="store_true",
+        help="skip the per-epoch sample grid during training",
+    )
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from tinydiffusionmodels_tpu.train import mnist_train
+
+    if args.train:
+        mnist_train.train(
+            epochs=args.epochs,
+            batch_size=args.batch_size,
+            ckpt_path=args.ckpt,
+            seed=args.seed,
+            data_root=args.data_root,
+            sample_every_epoch=not args.no_epoch_samples,
+        )
+    if args.sample:
+        mnist_train.sample(
+            ckpt_path=args.ckpt,
+            seed=args.seed,
+            method=args.sampler,
+            num_steps=args.steps,
+        )
+    if not args.train and not args.sample:
+        print("Nothing to do. Pass --train or --sample.")
+
+
+if __name__ == "__main__":
+    main()

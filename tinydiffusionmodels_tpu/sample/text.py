@@ -1,0 +1,169 @@
+"""Text sampling: pure diffusion sampling + decoding, and the guided
+AR+diffusion pipeline wiring.
+
+Rebuild of reference src/shakespeare.py:355-470. The reverse loop is the
+shared scanned sampler; decoding is learned-rounding argmax or the cosine
+fallback (src/shakespeare.py:387-401); guided generation precomputes the
+per-position diffusion logits and runs the KV-cached scan decoder
+(sample/guided.py).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tinydiffusionmodels_tpu.core.schedule import DiffusionSchedule
+from tinydiffusionmodels_tpu.io import get_samples_dir, save_samples
+from tinydiffusionmodels_tpu.models import (
+    rounding_apply,
+    tiny_transformer_apply,
+)
+from tinydiffusionmodels_tpu.models.embedding import cosine_logits
+from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
+from tinydiffusionmodels_tpu.sample.ancestral import sample_loop
+from tinydiffusionmodels_tpu.sample.guided import guided_generate_scan
+
+
+def sample_diffusion_embeddings(
+    diff_params: dict,
+    cfg: TransformerConfig,
+    sched: DiffusionSchedule,
+    key: jax.Array,
+    *,
+    n: int,
+    seq_len: int,
+    embed_dim: int,
+    method: str = "ancestral",
+    num_steps: int | None = None,
+) -> jax.Array:
+    """Reverse-diffuse pure embeddings z (reference src/shakespeare.py:418-426)."""
+    denoise = lambda x, t: tiny_transformer_apply(diff_params, x, t, cfg)
+    return jax.jit(
+        lambda k: sample_loop(
+            denoise, sched, (n, seq_len, embed_dim), k,
+            method=method, num_steps=num_steps,
+        )
+    )(key)
+
+
+def decode_embeddings(
+    x: jax.Array,
+    *,
+    rounding_params: dict | None,
+    embed_matrix: jax.Array | None,
+    use_learned_rounding: bool,
+) -> jax.Array:
+    """Embeddings -> token ids via learned rounding or cosine similarity
+    (reference src/shakespeare.py:387-401)."""
+    if use_learned_rounding:
+        logits = rounding_apply(rounding_params, x)
+    else:
+        logits = cosine_logits(embed_matrix, x)
+    return jnp.argmax(logits, axis=-1)
+
+
+def sample_text(
+    diff_params: dict,
+    cfg: TransformerConfig,
+    sched: DiffusionSchedule,
+    tokenizer,
+    key: jax.Array,
+    *,
+    rounding_params: dict | None = None,
+    embed_matrix: jax.Array | None = None,
+    n_samples: int = 4,
+    seq_len: int = 128,
+    embed_dim: int,
+    use_learned_rounding: bool = True,
+    outdir: str = "samples",
+    save: bool = True,
+    method: str = "ancestral",
+    num_steps: int | None = None,
+    log_fn=print,
+) -> list[str]:
+    """Pure diffusion text sampling (reference src/shakespeare.py:355-415)."""
+    x = sample_diffusion_embeddings(
+        diff_params, cfg, sched, key,
+        n=n_samples, seq_len=seq_len, embed_dim=embed_dim,
+        method=method, num_steps=num_steps,
+    )
+    tokens = decode_embeddings(
+        x,
+        rounding_params=rounding_params,
+        embed_matrix=embed_matrix,
+        use_learned_rounding=use_learned_rounding,
+    )
+    texts = tokenizer.batch_decode(np.asarray(tokens), skip_special_tokens=True)
+
+    if save:
+        samples_dir = get_samples_dir(outdir)
+        for i, text in enumerate(texts):
+            log_fn(text)
+            if isinstance(samples_dir, str) and samples_dir.startswith("gs://"):
+                sample_path = f"{samples_dir}/sample_{i}.txt"
+            else:
+                sample_path = Path(samples_dir) / f"sample_{i}.txt"
+            save_samples(text, sample_path)
+            log_fn(f"✔ Wrote {sample_path}")
+    return texts
+
+
+def diffusion_position_logits(
+    z: jax.Array,
+    *,
+    rounding_params: dict | None,
+    embed_matrix: jax.Array | None,
+    use_learned_rounding: bool,
+) -> jax.Array:
+    """(B, L, dim) z -> (B, L, V) per-position diffusion logits for guided
+    mixing (the hoisted form of reference src/shakespeare.py:451-464)."""
+    if use_learned_rounding:
+        return rounding_apply(rounding_params, z)
+    return cosine_logits(embed_matrix, z)
+
+
+def guided_sample_text(
+    decode_step: Callable,
+    init_cache: dict,
+    z: jax.Array,
+    tokenizer,
+    *,
+    rounding_params: dict | None = None,
+    embed_matrix: jax.Array | None = None,
+    use_learned_rounding: bool = True,
+    alpha: float = 0.3,
+    temperature: float = 1.0,
+    outdir: str = "samples",
+    save: bool = True,
+    log_fn=print,
+) -> list[str]:
+    """Guided generation end-to-end (reference src/shakespeare.py:429-470,
+    590-603): diffusion logits from z, KV-cached greedy scan, decode, save."""
+    diff_logits = diffusion_position_logits(
+        z,
+        rounding_params=rounding_params,
+        embed_matrix=embed_matrix,
+        use_learned_rounding=use_learned_rounding,
+    )
+    bos = tokenizer.bos_token_id or tokenizer.eos_token_id or 0
+    tokens = guided_generate_scan(
+        decode_step, init_cache, diff_logits, bos,
+        alpha=alpha, temperature=temperature,
+    )
+    texts = tokenizer.batch_decode(np.asarray(tokens), skip_special_tokens=True)
+
+    if save:
+        samples_dir = get_samples_dir(outdir)
+        for i, text in enumerate(texts):
+            if isinstance(samples_dir, str) and samples_dir.startswith("gs://"):
+                sample_path = f"{samples_dir}/guided_sample_{i}.txt"
+            else:
+                sample_path = Path(samples_dir) / f"guided_sample_{i}.txt"
+            save_samples(text, sample_path)
+            log_fn(f"✔ Wrote {sample_path}")
+    return texts

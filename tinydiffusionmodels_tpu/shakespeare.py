@@ -1,0 +1,389 @@
+"""Shakespeare text-diffusion CLI.
+
+Flag-for-flag parity with reference src/shakespeare.py:473-606:
+
+  python -m tinydiffusionmodels_tpu.shakespeare --train --epochs 100 \
+      --batch_size 8 --use_learned_embeddings --embed_dim 256
+  python -m tinydiffusionmodels_tpu.shakespeare --sample --n 4
+  python -m tinydiffusionmodels_tpu.shakespeare --guided_sample --alpha 0.3
+
+Hermetic behavior: when the HF model_id cannot be loaded (zero-egress TPU
+pods), the tokenizer falls back to a char-level vocab built from the corpus,
+learned embeddings are forced (there is no pretrained matrix to index), and
+the guided sampler's base LM is a locally trained TinyGPT
+(--base_lm tinygpt). All reference flags keep their meaning when HF *is*
+available.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    # Reference surface (src/shakespeare.py:474-497).
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--sample", action="store_true",
+                        help="plain diffusion sample")
+    parser.add_argument("--guided_sample", action="store_true",
+                        help="AR + diffusion guidance")
+    parser.add_argument("--epochs", type=int, default=1)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--seq_len", type=int, default=64)
+    parser.add_argument(
+        "--ckpt", type=str,
+        default="gs://text-diffusion/diffusion/outputs/model/text-model.pth"
+        if "AIP_MODEL_DIR" in os.environ
+        else "text_ckpt.pth",
+    )
+    parser.add_argument("--model_id", type=str, default="google/gemma-2b-it")
+    parser.add_argument("--n", type=int, default=10)
+    parser.add_argument("--alpha", type=float, default=0.3)
+    parser.add_argument("--rounding_weight", type=float, default=1.0,
+                        help="Weight for learned rounding loss")
+    parser.add_argument("--use_cosine_fallback", action="store_true",
+                        help="Use cosine similarity instead of learned rounding")
+    parser.add_argument("--use_learned_embeddings", action="store_true",
+                        help="Use custom learned embedding space")
+    parser.add_argument("--embed_dim", type=int, default=None,
+                        help="Custom embedding dimension")
+    parser.add_argument("--init_from_pretrained", action="store_true",
+                        help="Initialize learned embeddings from pre-trained weights")
+    parser.add_argument("--dropout", type=float, default=0.1)
+    parser.add_argument("--weight_decay", type=float, default=1e-4)
+    parser.add_argument("--patience", type=int, default=5)
+    parser.add_argument("--use_lr_scheduling", action="store_true", default=True)
+    parser.add_argument("--warmup_steps", type=int, default=100)
+    parser.add_argument("--val_split", type=float, default=0.1)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    # Framework extensions.
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_root", type=str, default="./data")
+    parser.add_argument("--sampler", type=str, default="ancestral",
+                        choices=["ancestral", "ddim"])
+    parser.add_argument("--steps", type=int, default=None,
+                        help="sampler steps (ddim)")
+    parser.add_argument("--base_lm", type=str, default="auto",
+                        choices=["auto", "hf", "tinygpt"],
+                        help="base LM for guided sampling")
+    parser.add_argument("--lm_epochs", type=int, default=3,
+                        help="TinyGPT base-LM training epochs (guided fallback)")
+    parser.add_argument("--lm_ckpt", type=str, default="lm_ckpt.pth")
+    return parser
+
+
+def _load_hf(model_id: str):
+    """Try to load the HF tokenizer + embedding matrix (+ torch LM).
+
+    Returns (tokenizer_adapter, pretrained_matrix, torch_lm) or
+    (None, None, None) when unavailable. The reference always loads the full
+    2B LM just for its embedding matrix (src/shakespeare.py:509-510); we do
+    the same only when HF is actually reachable.
+    """
+    try:
+        # Hermetic-first: only hit the network when explicitly allowed;
+        # otherwise restrict to the local HF cache (fails fast offline).
+        local_only = os.environ.get("TDM_ALLOW_DOWNLOADS") != "1"
+        from transformers import AutoModelForCausalLM, AutoTokenizer  # type: ignore
+
+        from tinydiffusionmodels_tpu.data.tokenizer import HFTokenizerAdapter
+
+        tok = AutoTokenizer.from_pretrained(model_id, local_files_only=local_only)
+        lm = AutoModelForCausalLM.from_pretrained(
+            model_id, local_files_only=local_only
+        )
+        matrix = lm.get_input_embeddings().weight.detach().cpu().numpy()
+        return HFTokenizerAdapter(tok), matrix, lm
+    except Exception as e:  # pragma: no cover - network/path dependent
+        print(f"[hf] {model_id} unavailable ({type(e).__name__}); "
+              "falling back to char tokenizer / TinyGPT base LM")
+        return None, None, None
+
+
+def _guided_with_torch_lm(lm, tokenizer, diff_logits_all, *, alpha,
+                          temperature=1.0):
+    """Guided decode against a torch HF LM, matching the reference loop
+    (src/shakespeare.py:445-470) including its no-KV-cache full-prefix
+    forwards (kept for exact behavioral parity on the HF path)."""
+    import torch
+
+    b, seq_len, _ = diff_logits_all.shape
+    bos = tokenizer.bos_token_id or tokenizer.eos_token_id
+    input_ids = torch.full((b, 1), bos, dtype=torch.long)
+    diff_np = torch.from_numpy(np.asarray(diff_logits_all))
+    with torch.no_grad():
+        for pos in range(seq_len):
+            ar_logits = lm(input_ids).logits[:, -1, :] / temperature
+            mixed = (1 - alpha) * ar_logits + alpha * (
+                diff_np[:, pos, :] / temperature
+            )
+            next_id = torch.argmax(mixed, dim=-1, keepdim=True)
+            input_ids = torch.cat([input_ids, next_id], dim=1)
+    return tokenizer.batch_decode(
+        input_ids[:, 1:].numpy(), skip_special_tokens=True
+    )
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if not (args.train or args.sample or args.guided_sample):
+        print("Nothing to do. Try --train or --guided_sample.")
+        return
+
+    import jax
+
+    from tinydiffusionmodels_tpu.core import make_schedule
+    from tinydiffusionmodels_tpu.core.rng import substream
+    from tinydiffusionmodels_tpu.data import load_text_corpus, tokenize_corpus
+    from tinydiffusionmodels_tpu.data.tokenizer import CharTokenizer
+    from tinydiffusionmodels_tpu.io import load_checkpoint, save_checkpoint
+    from tinydiffusionmodels_tpu.io.checkpoint import (
+        embedding_from_state_dict,
+        rounding_from_state_dict,
+        transformer_from_state_dict,
+        tree_to_jax,
+        tree_to_numpy,
+    )
+    from tinydiffusionmodels_tpu.models import (
+        init_learned_embedding,
+        init_learned_rounding,
+        init_tiny_transformer,
+    )
+    from tinydiffusionmodels_tpu.models.embedding import embedding_matrix
+    from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
+
+    key = jax.random.PRNGKey(args.seed)
+    sched = make_schedule()
+
+    # --- tokenizer / pretrained-matrix resolution -------------------------
+    hf_tok, pretrained_matrix, torch_lm = (None, None, None)
+    if args.model_id and args.model_id != "char":
+        hf_tok, pretrained_matrix, torch_lm = _load_hf(args.model_id)
+
+    corpus, corpus_source = load_text_corpus(args.data_root)
+    if corpus_source == "builtin":
+        print("[data] tiny_shakespeare unavailable -> built-in fallback corpus")
+    data_limit = int(os.environ.get("TDM_DATA_LIMIT", "0"))
+    if data_limit:
+        corpus = corpus[:data_limit]
+    tokenizer = hf_tok if hf_tok is not None else CharTokenizer(corpus)
+    tokenizer_state = (
+        tokenizer.state() if isinstance(tokenizer, CharTokenizer) else None
+    )
+    vocab_size = tokenizer.vocab_size
+
+    use_learned_embeddings = args.use_learned_embeddings
+    if pretrained_matrix is None:
+        if not use_learned_embeddings:
+            print("[cfg] no pretrained embedding matrix available -> "
+                  "forcing --use_learned_embeddings")
+            use_learned_embeddings = True
+        pretrained_dim = None
+    else:
+        vocab_size = pretrained_matrix.shape[0]
+        pretrained_dim = pretrained_matrix.shape[1]
+
+    if use_learned_embeddings:
+        embed_dim = args.embed_dim or pretrained_dim or 256
+        init_embeddings = (
+            pretrained_matrix if args.init_from_pretrained else None
+        )
+        embedding_params = init_learned_embedding(
+            substream(key, "embedding"), vocab_size, embed_dim, init_embeddings
+        )
+        print(f"Using learned embeddings (dim={embed_dim}, "
+              f"init_from_pretrained={args.init_from_pretrained})")
+    else:
+        embed_dim = pretrained_dim
+        embedding_params = None
+        print(f"Using pre-trained embeddings (dim={embed_dim})")
+
+    cfg = TransformerConfig(
+        dim=embed_dim, n_heads=4, depth=3, dropout=args.dropout,
+        timesteps=sched.timesteps,
+    )
+    diff_params = init_tiny_transformer(substream(key, "diffusion"), cfg)
+    rounding_params = init_learned_rounding(
+        substream(key, "rounding"), embed_dim, vocab_size
+    )
+
+    # --- train ------------------------------------------------------------
+    if args.train:
+        from tinydiffusionmodels_tpu.train import text_train
+
+        train_chunks, val_chunks = tokenize_corpus(
+            corpus, tokenizer, args.seq_len, args.val_split
+        )
+        print(f"Training on {len(train_chunks)} chunks, "
+              f"validating on {len(val_chunks)} chunks")
+        joint = {
+            "diffusion_model": diff_params,
+            "rounding_fn": rounding_params,
+        }
+        if use_learned_embeddings:
+            joint["embedding_fn"] = embedding_params
+        final = text_train.train(
+            joint, train_chunks, val_chunks,
+            cfg=cfg, sched=sched,
+            ckpt_path=args.ckpt, epochs=args.epochs,
+            batch_size=args.batch_size, lr=args.lr,
+            weight_decay=args.weight_decay,
+            rounding_weight=args.rounding_weight,
+            use_learned_embeddings=use_learned_embeddings,
+            pretrained_matrix=pretrained_matrix,
+            patience=args.patience,
+            use_lr_scheduling=args.use_lr_scheduling,
+            warmup_steps=args.warmup_steps,
+            seed=args.seed,
+            tokenizer_state=tokenizer_state,
+        )
+        diff_params = final["diffusion_model"]
+        rounding_params = final["rounding_fn"]
+        if use_learned_embeddings:
+            embedding_params = final["embedding_fn"]
+
+    # --- checkpoint loading for sample/guided -----------------------------
+    use_cosine_fallback = args.use_cosine_fallback
+    if (args.sample or args.guided_sample) and not args.train:
+        checkpoint = load_checkpoint(args.ckpt)
+        if isinstance(checkpoint, dict) and "diffusion_model" in checkpoint:
+            diff_params = transformer_from_state_dict(
+                checkpoint["diffusion_model"]
+            )
+            rounding_params = rounding_from_state_dict(checkpoint["rounding_fn"])
+            if use_learned_embeddings and "embedding_fn" in checkpoint:
+                embedding_params = embedding_from_state_dict(
+                    checkpoint["embedding_fn"]
+                )
+            elif use_learned_embeddings:
+                print("Warning: Learned embeddings requested but not found in "
+                      "checkpoint. Using pre-trained fallback.")
+                use_learned_embeddings = False
+            if "tokenizer" in checkpoint and hf_tok is None:
+                tokenizer = CharTokenizer.from_state(checkpoint["tokenizer"])
+        else:
+            # Old single-model checkpoint (reference src/shakespeare.py:556-562).
+            diff_params = transformer_from_state_dict(checkpoint)
+            print("Warning: Using old checkpoint format. Falling back to "
+                  "pre-trained embeddings and cosine similarity.")
+            use_cosine_fallback = True
+            use_learned_embeddings = False
+
+    embed_matrix = None
+    if use_learned_embeddings:
+        embed_matrix = embedding_matrix(embedding_params)
+    elif pretrained_matrix is not None:
+        import jax.numpy as jnp
+
+        embed_matrix = jnp.asarray(pretrained_matrix)
+
+    # --- plain sampling ---------------------------------------------------
+    if args.sample:
+        from tinydiffusionmodels_tpu.sample.text import sample_text
+
+        sample_text(
+            diff_params, cfg, sched, tokenizer, substream(key, "sample"),
+            rounding_params=rounding_params,
+            embed_matrix=embed_matrix,
+            n_samples=args.n, seq_len=args.seq_len, embed_dim=embed_dim,
+            use_learned_rounding=not use_cosine_fallback,
+            method=args.sampler, num_steps=args.steps,
+        )
+
+    # --- guided sampling --------------------------------------------------
+    if args.guided_sample:
+        from tinydiffusionmodels_tpu.sample.text import (
+            diffusion_position_logits,
+            guided_sample_text,
+            sample_diffusion_embeddings,
+        )
+
+        z = sample_diffusion_embeddings(
+            diff_params, cfg, sched, substream(key, "guided"),
+            n=args.n, seq_len=args.seq_len, embed_dim=embed_dim,
+            method=args.sampler, num_steps=args.steps,
+        )
+
+        lm_choice = args.base_lm
+        if lm_choice == "auto":
+            lm_choice = "hf" if torch_lm is not None else "tinygpt"
+
+        if lm_choice == "hf":
+            if torch_lm is None:
+                raise RuntimeError(
+                    f"--base_lm hf requested but {args.model_id} not loadable"
+                )
+            diff_logits = diffusion_position_logits(
+                z,
+                rounding_params=rounding_params,
+                embed_matrix=embed_matrix,
+                use_learned_rounding=not use_cosine_fallback,
+            )
+            texts = _guided_with_torch_lm(
+                torch_lm, tokenizer, np.asarray(diff_logits), alpha=args.alpha
+            )
+            from pathlib import Path
+
+            from tinydiffusionmodels_tpu.io import get_samples_dir, save_samples
+
+            samples_dir = get_samples_dir("samples")
+            for i, text in enumerate(texts):
+                if isinstance(samples_dir, str) and samples_dir.startswith("gs://"):
+                    sample_path = f"{samples_dir}/guided_sample_{i}.txt"
+                else:
+                    sample_path = Path(samples_dir) / f"guided_sample_{i}.txt"
+                save_samples(text, sample_path)
+                print(f"✔ Wrote {sample_path}")
+        else:
+            # TinyGPT fallback: load or train a local base LM.
+            from tinydiffusionmodels_tpu.models import (
+                tiny_gpt_decode_step,
+                tiny_gpt_init_cache,
+            )
+            from tinydiffusionmodels_tpu.models.ar_lm import TinyGPTConfig
+
+            lm_cfg = TinyGPTConfig(
+                vocab_size=vocab_size, dim=256, n_heads=4, depth=4,
+                max_len=max(args.seq_len + 1, 64),
+            )
+            lm_params = None
+            if os.path.exists(args.lm_ckpt):
+                try:
+                    lm_params = tree_to_jax(load_checkpoint(args.lm_ckpt)["params"])
+                    print(f"[lm] loaded TinyGPT from {args.lm_ckpt}")
+                except Exception as e:
+                    print(f"[lm] could not load {args.lm_ckpt}: {e}")
+            if lm_params is None:
+                from tinydiffusionmodels_tpu.train.lm_train import train_lm
+
+                print(f"[lm] training TinyGPT base LM for {args.lm_epochs} epochs")
+                train_chunks, _ = tokenize_corpus(
+                    corpus, tokenizer, args.seq_len + 1, 0.0
+                )
+                lm_params = train_lm(
+                    train_chunks, lm_cfg, epochs=args.lm_epochs, seed=args.seed
+                )
+                save_checkpoint(
+                    {"params": tree_to_numpy(lm_params)}, args.lm_ckpt
+                )
+
+            decode = lambda cache, tok: tiny_gpt_decode_step(
+                lm_params, cache, tok, lm_cfg
+            )
+            guided_sample_text(
+                decode,
+                tiny_gpt_init_cache(lm_cfg, args.n),
+                z, tokenizer,
+                rounding_params=rounding_params,
+                embed_matrix=embed_matrix,
+                use_learned_rounding=not use_cosine_fallback,
+                alpha=args.alpha,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -114,6 +114,9 @@ def train(
     images, _, source = load_mnist(data_root, train=True)
     if source == "synthetic":
         log_fn("[data] MNIST unavailable -> deterministic synthetic digits")
+    limit = int(os.environ.get("TDM_DATA_LIMIT", "0"))
+    if limit:
+        images = images[:limit]
     data = normalize_mnist(images)
 
     sched = make_schedule()
