@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+from tinydiffusionmodels_tpu.runtime import enable_compile_cache
+
+enable_compile_cache()
+
 
 def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
     """Median-of-3 trimmed timing of fn(*args); returns seconds per call."""
@@ -41,36 +45,32 @@ def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
     return sorted(times)[1]
 
 
-def bench_mnist_train(batch_size: int = 128) -> float:
+def bench_mnist_train(batch_size: int = 128, chunk: int = 50) -> float:
+    """Optimizer steps/sec via the production scan-of-steps path."""
     from tinydiffusionmodels_tpu.core import make_schedule
     from tinydiffusionmodels_tpu.models import init_unet
-    from tinydiffusionmodels_tpu.train.mnist_train import make_train_step
+    from tinydiffusionmodels_tpu.train.mnist_train import make_train_step_multi
     from tinydiffusionmodels_tpu.train.optim import adamw
     from tinydiffusionmodels_tpu.train.state import TrainState
 
     sched = make_schedule()
     tx = adamw(1e-3)
     state = TrainState.create(init_unet(jax.random.PRNGKey(0)), tx)
-    step = make_train_step(sched, tx)
-    batch = jax.random.normal(jax.random.PRNGKey(1), (batch_size, 28, 28, 1))
+    step = make_train_step_multi(sched, tx, chunk)
+    batches = jax.random.normal(
+        jax.random.PRNGKey(1), (chunk, batch_size, 28, 28, 1)
+    )
     key = jax.random.PRNGKey(2)
 
-    # Non-donating wrapper step for repeatable timing.
-    state, _ = step(state, batch, key)  # compile + donate once
-
-    def run(state):
-        s, loss = step(state, batch, key)
-        return s
-
-    # Donation means we must thread the state; time a fixed chain length.
-    for _ in range(3):
-        state = run(state)  # warmup
-    iters = 30
+    state, _ = step(state, batches, key)  # compile
+    for _ in range(2):
+        state, _ = step(state, batches, key)
+    dispatches = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state = run(state)
-    jax.block_until_ready(state.step)
-    return iters / (time.perf_counter() - t0)
+    for _ in range(dispatches):
+        state, loss = step(state, batches, key)
+    jax.block_until_ready(loss)
+    return dispatches * chunk / (time.perf_counter() - t0)
 
 
 def bench_mnist_sample(n_samples: int = 64, quick: bool = False) -> float:
@@ -89,7 +89,9 @@ def bench_mnist_sample(n_samples: int = 64, quick: bool = False) -> float:
 
 
 def bench_text_train(batch_size: int = 8, seq_len: int = 64,
-                     dim: int = 256) -> float:
+                     dim: int = 256, chunk: int = 50) -> float:
+    """Joint 3-model optimizer steps/sec via the scan-of-steps path
+    (reference config bs=8/seq=64/dim=256; T4 baseline 25 it/s)."""
     from tinydiffusionmodels_tpu.core import make_schedule
     from tinydiffusionmodels_tpu.models import (
         init_learned_embedding,
@@ -99,7 +101,9 @@ def bench_text_train(batch_size: int = 8, seq_len: int = 64,
     from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
     from tinydiffusionmodels_tpu.train.optim import adamw
     from tinydiffusionmodels_tpu.train.state import TrainState
-    from tinydiffusionmodels_tpu.train.text_train import make_text_train_step
+    from tinydiffusionmodels_tpu.train.text_train import (
+        make_text_train_step_multi,
+    )
 
     vocab = 4096  # stand-in vocab; throughput is vocab-insensitive at this size
     sched = make_schedule()
@@ -113,22 +117,24 @@ def bench_text_train(batch_size: int = 8, seq_len: int = 64,
     }
     tx = adamw(1e-4)
     state = TrainState.create(joint, tx)
-    step = make_text_train_step(sched, cfg, tx, use_learned_embeddings=True)
+    step = make_text_train_step_multi(
+        sched, cfg, tx, use_learned_embeddings=True
+    )
     tokens = jax.random.randint(
-        jax.random.PRNGKey(3), (batch_size, seq_len), 0, vocab
+        jax.random.PRNGKey(3), (chunk, batch_size, seq_len), 0, vocab
     )
     w = jnp.asarray(1.0)
     k = jax.random.PRNGKey(4)
 
     state, _ = step(state, tokens, w, k)  # compile
-    for _ in range(3):
+    for _ in range(2):
         state, _ = step(state, tokens, w, k)
-    iters = 50
+    dispatches = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(dispatches):
         state, losses = step(state, tokens, w, k)
-    jax.block_until_ready(losses[2])
-    return iters / (time.perf_counter() - t0)
+    jax.block_until_ready(losses)
+    return dispatches * chunk / (time.perf_counter() - t0)
 
 
 def bench_text_sample(n: int = 8, seq_len: int = 64, dim: int = 256,

@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from tinydiffusionmodels_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache()
     from tinydiffusionmodels_tpu.train import mnist_train
 
     if args.train:

@@ -12,6 +12,7 @@ from tinydiffusionmodels_tpu.parallel.mesh import (
     data_sharding,
     replicated,
     shard_batch,
+    shard_stacked_batch,
     replicate_tree,
 )
 from tinydiffusionmodels_tpu.parallel.tp import transformer_tp_rules, apply_rules
@@ -21,6 +22,7 @@ __all__ = [
     "data_sharding",
     "replicated",
     "shard_batch",
+    "shard_stacked_batch",
     "replicate_tree",
     "transformer_tp_rules",
     "apply_rules",

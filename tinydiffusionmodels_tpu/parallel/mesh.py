@@ -59,6 +59,16 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     )
 
 
+def shard_stacked_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Device-put arrays shaped (K, B, ...) with dim 1 (batch) sharded —
+    the layout consumed by the scan-of-steps train functions."""
+    def put(x):
+        spec = P(None, axis, *([None] * (np.ndim(x) - 2)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
 def replicate_tree(mesh: Mesh, tree):
     """Device-put a pytree fully replicated over the mesh."""
     sharding = replicated(mesh)

@@ -1,0 +1,64 @@
+"""Runtime configuration helpers (compile cache, profiling hooks).
+
+Remote-attached TPUs pay tens of seconds to minutes per XLA compile; the
+persistent compilation cache makes every program compile once per machine.
+Enabled by the CLIs and bench; opt out with TDM_COMPILE_CACHE=0.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    if os.environ.get("TDM_COMPILE_CACHE", "1") == "0":
+        return
+    import jax
+
+    cache_dir = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/tdm_jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str | None):
+    """jax.profiler trace context; no-op when logdir is None.
+
+    The reference has no profiling at all (SURVEY.md §5.1); pass
+    --profile_dir on the CLIs (or call this directly) to capture a trace
+    viewable in TensorBoard/XProf.
+    """
+    if not logdir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Cheap wall-clock step timer for throughput logs."""
+
+    def __init__(self):
+        self.t0 = time.perf_counter()
+        self.steps = 0
+
+    def tick(self, n: int = 1) -> None:
+        self.steps += n
+
+    def rate(self) -> float:
+        dt = time.perf_counter() - self.t0
+        return self.steps / dt if dt > 0 else float("inf")

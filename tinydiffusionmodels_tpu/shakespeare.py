@@ -136,6 +136,9 @@ def main(argv=None) -> None:
 
     import jax
 
+    from tinydiffusionmodels_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache()
     from tinydiffusionmodels_tpu.core import make_schedule
     from tinydiffusionmodels_tpu.core.rng import substream
     from tinydiffusionmodels_tpu.data import load_text_corpus, tokenize_corpus

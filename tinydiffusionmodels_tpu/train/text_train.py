@@ -41,7 +41,12 @@ from tinydiffusionmodels_tpu.models import (
     tiny_transformer_apply,
 )
 from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
-from tinydiffusionmodels_tpu.parallel import make_mesh, replicate_tree, shard_batch
+from tinydiffusionmodels_tpu.parallel import (
+    make_mesh,
+    replicate_tree,
+    shard_batch,
+    shard_stacked_batch,
+)
 from tinydiffusionmodels_tpu.train.optim import (
     adamw,
     cosine_schedule_with_warmup,
@@ -120,6 +125,52 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
         return new_state, (diff, round_, total)
 
     return train_step
+
+
+def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
+                               pretrained_matrix=None):
+    """Scan K optimizer steps in one dispatch (see mnist_train.
+    make_train_step_multi for why): (state, tokens (K, B, L), weight, key)
+    -> (state, summed (diff, round, total))."""
+
+    def loss_fn(params, token_ids, rounding_weight, key):
+        b = token_ids.shape[0]
+        t = jax.random.randint(
+            substream(key, "timesteps"), (b,), 0, sched.timesteps
+        )
+        if use_learned_embeddings:
+            dim = params["embedding_fn"]["weight"].shape[1]
+        else:
+            dim = pretrained_matrix.shape[1]
+        noise = jax.random.normal(
+            substream(key, "noise"), (b, token_ids.shape[1], dim)
+        )
+        return _losses(
+            params, token_ids, t, noise, rounding_weight,
+            cfg=cfg, sched=sched,
+            use_learned_embeddings=use_learned_embeddings,
+            pretrained_matrix=pretrained_matrix,
+            deterministic=False, key=substream(key, "dropout"),
+        )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step_multi(state: TrainState, token_batches, rounding_weight, key):
+        def body(state, token_ids):
+            step_key = jax.random.fold_in(key, state.step)
+            (total, (diff, round_)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, token_ids, rounding_weight, step_key)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(params, opt_state, state.step + 1),
+                jnp.stack([diff, round_, total]),
+            )
+
+        state, losses = jax.lax.scan(body, state, token_batches)
+        return state, jnp.sum(losses, axis=0)
+
+    return train_step_multi
 
 
 def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
@@ -210,7 +261,8 @@ def train(
     if pretrained_matrix is not None:
         pretrained_matrix = jnp.asarray(pretrained_matrix)
     state = replicate_tree(mesh, TrainState.create(joint_params, tx))
-    train_step = make_text_train_step(
+    chunk = max(1, int(os.environ.get("TDM_SCAN_CHUNK", "25")))
+    train_multi = make_text_train_step_multi(
         sched, cfg, tx,
         use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix,
@@ -232,16 +284,27 @@ def train(
         t0 = time.perf_counter()
         sums = jnp.zeros((3,))
         n = 0
-        for i, tokens in enumerate(
-            batch_iterator(train_chunks, batch_size, seed=seed, epoch=epoch)
-        ):
-            tokens = shard_batch(mesh, jnp.asarray(tokens))
-            step_key = jax.random.fold_in(
-                substream(key, "train"), epoch * steps_per_epoch + i
+        train_key = substream(key, "train")
+        pending: list[np.ndarray] = []
+
+        def flush(state, sums, pending):
+            stacked = shard_stacked_batch(
+                mesh, jnp.asarray(np.stack(pending))
             )
-            state, (d, r, t_) = train_step(state, tokens, w_arr, step_key)
-            sums = sums + jnp.stack([d, r, t_])
-            n += 1
+            state, batch_sums = train_multi(state, stacked, w_arr, train_key)
+            return state, sums + batch_sums
+
+        for tokens in batch_iterator(
+            train_chunks, batch_size, seed=seed, epoch=epoch
+        ):
+            pending.append(tokens)
+            if len(pending) == chunk:
+                state, sums = flush(state, sums, pending)
+                n += chunk
+                pending = []
+        if pending:
+            state, sums = flush(state, sums, pending)
+            n += len(pending)
         train_losses = np.asarray(sums) / max(n, 1)
         dt = time.perf_counter() - t0
 
