@@ -1,11 +1,219 @@
 """Pallas TPU kernels for the hot ops.
 
-Placeholder module: kernels land behind the same signatures as ops/xla_ref.py
-and are diffed against it in tests/test_ops.py. An op missing here silently
-falls back to the XLA reference via the registry.
+Same signatures as ops/xla_ref.py (the semantics contract); the registry
+falls back to XLA for cases a kernel doesn't cover (masks, dropout). Each
+kernel is correctness-diffed against the XLA reference in tests/test_ops.py
+(interpreter mode on CPU, compiled on TPU).
+
+Kernels:
+- ``attention``: single-block fused softmax(QK^T/sqrt(d))V per (batch, head).
+  The whole score matrix lives in VMEM/registers — no HBM materialization of
+  the (L, L) attention weights. Covers the sampler/eval hot path (no mask,
+  no dropout); L and Dh are padded to TPU tiles by the compiler.
+- ``fused_resblock``: the ENTIRE UNet residual block
+  (conv3x3 -> bias -> relu -> +time-bias -> conv3x3 -> bias -> relu -> +skip)
+  as one kernel per batch element. 3x3 SAME convs are expressed as 9
+  shifted (HW, Cin) @ (Cin, Cout) MXU matmuls with boundary masking, so the
+  intermediate activations never round-trip to HBM between the two convs
+  (reference block: src/mnist.py:56-61).
 """
 
 from __future__ import annotations
 
-# Kernels are added incrementally; see ops/xla_ref.py for the semantics
-# contract of each op.
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tinydiffusionmodels_tpu.ops import xla_ref
+
+
+def _interpret() -> bool:
+    # Compiled Mosaic only exists on real TPU backends; everywhere else
+    # (CPU tests, including the forced-host-device mesh) use the interpreter.
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Fused attention
+# ---------------------------------------------------------------------------
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0]  # (L, Dh)
+    k = k_ref[0]
+    v = v_ref[0]
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),  # q @ k^T
+        preferred_element_type=jnp.float32,
+    ) * scale
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
+              dropout_key=None):
+    """Fused attention over (B, H, L, Dh). Falls back to the XLA reference
+    for masked or dropout attention (training / causal decode)."""
+    if mask is not None or dropout_rate > 0.0:
+        return xla_ref.attention(
+            q, k, v, mask=mask, dropout_rate=dropout_rate,
+            dropout_key=dropout_key,
+        )
+    b, h, l, dh = q.shape
+    bh = b * h
+    qf = q.reshape(bh, l, dh)
+    kf = k.reshape(bh, l, dh)
+    vf = v.reshape(bh, l, dh)
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=1.0 / float(np.sqrt(dh))),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, l, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, dh), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l, dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, l, dh), q.dtype),
+        interpret=_interpret(),
+    )(qf, kf, vf)
+    return out.reshape(b, h, l, dh)
+
+
+# ---------------------------------------------------------------------------
+# Fused residual block
+# ---------------------------------------------------------------------------
+
+def _shifted_matmul_accum(x, w_taps, acc, *, H: int, W: int):
+    """acc += conv3x3(x) expressed as 9 masked shifted matmuls.
+
+    x: (BB*HW, Cin), BB images concatenated row-major; w_taps: (9, Cin, Cout).
+    Tap k = (dy, dx) with dy = k//3 - 1, dx = k%3 - 1 accumulates
+    x[p + dy*W + dx] @ w_taps[k]. The boundary mask (computed per image via
+    p mod HW) zeroes every out-of-image source — including rolls that cross
+    into a neighboring image in the flattened batch — implementing SAME zero
+    padding. Each tap is one large MXU matmul over the whole chunk.
+    """
+    hw = H * W
+    n = x.shape[0]
+    p_img = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % hw
+    row = p_img // W
+    col = p_img % W
+    for k in range(9):
+        dy, dx = k // 3 - 1, k % 3 - 1
+        off = dy * W + dx
+        # pltpu.roll is circular and requires a non-negative shift; wrapped
+        # rows are zeroed by the boundary mask below.
+        sh = (-off) % n
+        shifted = pltpu.roll(x, sh, 0) if sh else x
+        valid_row = jnp.logical_and(row + dy >= 0, row + dy < H)
+        valid_col = jnp.logical_and(col + dx >= 0, col + dx < W)
+        m = jnp.logical_and(valid_row, valid_col).astype(x.dtype)
+        acc = acc + jnp.dot(
+            shifted * m, w_taps[k], preferred_element_type=jnp.float32
+        )
+    return acc
+
+
+def _resblock_kernel(x_ref, w1_ref, b1_ref, tb_ref, w2_ref, b2_ref,
+                     *rest, H: int, W: int, has_skip: bool):
+    # Pallas passes refs as (inputs..., outputs...): the optional skip
+    # weights are inputs and therefore precede the output ref.
+    if has_skip:
+        ws_ref, bs_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    hw = H * W
+    bb = x_ref.shape[0]
+    cin = x_ref.shape[-1]
+    cout = o_ref.shape[-1]
+    x = x_ref[:].reshape(bb * hw, cin)
+
+    h = _shifted_matmul_accum(
+        x, w1_ref[:], jnp.zeros((bb * hw, cout), jnp.float32), H=H, W=W
+    )
+    h = jnp.maximum(h + b1_ref[:], 0.0)          # relu(conv1 + b1)
+    # Per-image time bias: broadcast (BB, 1, Cout) over each image's rows.
+    h = (h.reshape(bb, hw, cout) + tb_ref[:]).reshape(bb * hw, cout)
+    h2 = _shifted_matmul_accum(
+        h.astype(x.dtype), w2_ref[:],
+        jnp.zeros((bb * hw, cout), jnp.float32), H=H, W=W,
+    )
+    h2 = jnp.maximum(h2 + b2_ref[:], 0.0)        # relu(conv2 + b2)
+
+    if has_skip:
+        skip = jnp.dot(x, ws_ref[:], preferred_element_type=jnp.float32)
+        skip = skip + bs_ref[:]
+    else:
+        skip = x
+    o_ref[:] = (h2 + skip).reshape(bb, H, W, cout).astype(o_ref.dtype)
+
+
+def _batch_block(b: int, hw: int, cmax: int) -> int:
+    """Images per grid step: largest divisor of b fitting scoped VMEM.
+
+    Measured on v5e: the unrolled 9-tap accumulation keeps ~40 f32 buffers
+    of (rows, cmax) live (shifted operands + masked products for both
+    convs), i.e. ~160 bytes per row per channel of scoped stack. Budget
+    12 MB of the 16 MB VMEM.
+    """
+    budget_rows = max(1, (12 * 1024 * 1024) // (160 * max(cmax, 1)))
+    bb = 1
+    for d in range(1, b + 1):
+        if b % d == 0 and d * hw <= budget_rows:
+            bb = d
+    return bb
+
+
+def fused_resblock(x, p, time_bias):
+    """One-kernel residual block. x: (B, H, W, Cin); time_bias (B,1,1,Cout)."""
+    b, H, W, cin = x.shape
+    w1 = p["conv1"]["w"]          # (3, 3, Cin, Cout) HWIO
+    cout = w1.shape[-1]
+    w1_taps = w1.reshape(9, cin, cout)
+    w2_taps = p["conv2"]["w"].reshape(9, cout, cout)
+    # (B, 1, Cout): keeps the per-block tile (BB, 1, Cout) legal for Mosaic
+    # (last two dims equal to the full array dims).
+    tb = time_bias.reshape(b, 1, cout)
+    has_skip = p.get("skip") is not None
+    bb = _batch_block(b, H * W, max(cin, cout))
+
+    in_specs = [
+        pl.BlockSpec((bb, H, W, cin), lambda i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w1 taps
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
+        pl.BlockSpec((bb, 1, cout), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w2 taps
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
+    ]
+    args = [x, w1_taps, p["conv1"]["b"], tb, w2_taps, p["conv2"]["b"]]
+    if has_skip:
+        ws = p["skip"]["w"].reshape(cin, cout)
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        args += [ws, p["skip"]["b"]]
+
+    return pl.pallas_call(
+        functools.partial(_resblock_kernel, H=H, W=W, has_skip=has_skip),
+        grid=(b // bb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, H, W, cout), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, H, W, cout), x.dtype),
+        interpret=_interpret(),
+    )(*args)

@@ -21,6 +21,13 @@ from tinydiffusionmodels_tpu.ops import xla_ref
 
 _override: str | None = None
 
+# Per-op winners under 'auto' on TPU, decided by measurement (v5e-1,
+# steady-state in-scan timings; see ops/pallas_kernels.py docstrings):
+# - attention: pallas 0.48us vs xla 0.69us per call (B8/H4/L64/Dh64) -> pallas
+# - fused_resblock: xla 308us vs pallas 563us (B128, 14x14x32->64); XLA's
+#   native conv lowering wins at these tiny spatial dims -> xla
+_AUTO_TPU = {"attention": "pallas", "fused_resblock": "xla", "conv2d": "xla"}
+
 
 def set_backend(name: str | None) -> None:
     """Force an op backend ('xla', 'pallas') or None to restore auto."""
@@ -36,12 +43,20 @@ def get_backend() -> str:
     env = os.environ.get("TDM_KERNELS", "auto")
     if env in ("xla", "pallas"):
         return env
-    # auto: pallas only where Mosaic runs.
+    return "auto"
+
+
+def _resolve(op_name: str) -> str:
+    backend = get_backend()
+    if backend != "auto":
+        return backend
     try:
         platform = jax.default_backend()
     except Exception:  # pragma: no cover
         platform = "cpu"
-    return "pallas" if platform == "tpu" else "xla"
+    if platform == "tpu":
+        return _AUTO_TPU.get(op_name, "xla")
+    return "xla"
 
 
 def _pallas_module():
@@ -51,7 +66,7 @@ def _pallas_module():
 
 
 def _dispatch(op_name: str) -> Any:
-    if get_backend() == "pallas":
+    if _resolve(op_name) == "pallas":
         mod = _pallas_module()
         fn = getattr(mod, op_name, None)
         if fn is not None:
