@@ -44,32 +44,42 @@ def build_parser() -> argparse.ArgumentParser:
         "--no_epoch_samples", action="store_true",
         help="skip the per-epoch sample grid during training",
     )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="checkpoint full train state each epoch and resume if present",
+    )
+    parser.add_argument(
+        "--profile_dir", type=str, default=None,
+        help="capture a jax.profiler trace of the run to this directory",
+    )
     return parser
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    from tinydiffusionmodels_tpu.runtime import enable_compile_cache
+    from tinydiffusionmodels_tpu.runtime import enable_compile_cache, profile_trace
 
     enable_compile_cache()
     from tinydiffusionmodels_tpu.train import mnist_train
 
-    if args.train:
-        mnist_train.train(
-            epochs=args.epochs,
-            batch_size=args.batch_size,
-            ckpt_path=args.ckpt,
-            seed=args.seed,
-            data_root=args.data_root,
-            sample_every_epoch=not args.no_epoch_samples,
-        )
-    if args.sample:
-        mnist_train.sample(
-            ckpt_path=args.ckpt,
-            seed=args.seed,
-            method=args.sampler,
-            num_steps=args.steps,
-        )
+    with profile_trace(args.profile_dir):
+        if args.train:
+            mnist_train.train(
+                epochs=args.epochs,
+                batch_size=args.batch_size,
+                ckpt_path=args.ckpt,
+                seed=args.seed,
+                data_root=args.data_root,
+                sample_every_epoch=not args.no_epoch_samples,
+                resume=args.resume,
+            )
+        if args.sample:
+            mnist_train.sample(
+                ckpt_path=args.ckpt,
+                seed=args.seed,
+                method=args.sampler,
+                num_steps=args.steps,
+            )
     if not args.train and not args.sample:
         print("Nothing to do. Pass --train or --sample.")
 

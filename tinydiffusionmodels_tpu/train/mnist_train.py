@@ -29,6 +29,7 @@ from tinydiffusionmodels_tpu.data.mnist import load_mnist, normalize_mnist
 from tinydiffusionmodels_tpu.io import (
     get_samples_dir,
     get_vertex_checkpoint_path,
+    is_gcs_path,
     save_checkpoint,
     save_samples,
 )
@@ -144,12 +145,19 @@ def train(
     seed: int = 0,
     data_root: str = "./data",
     mesh=None,
+    resume: bool = False,
+    resume_path: str | None = None,
     log_fn=print,
 ) -> dict:
     """Full training run (reference src/mnist.py:128-165 surface).
 
     Returns the final params pytree. Saves a torch-format bare state_dict
     checkpoint, exactly the reference's format (src/mnist.py:165).
+
+    Beyond the reference (which has no mid-training resume — SURVEY.md §5.4):
+    with ``resume=True`` a full train state (params + optimizer state +
+    step + epoch) is checkpointed to ``resume_path`` every epoch and picked
+    up on restart — preemption-safe training on TPU spot capacity.
     """
     ckpt_path = (
         get_vertex_checkpoint_path("image-model.pth")
@@ -172,6 +180,29 @@ def train(
     if mesh is None:
         mesh = make_mesh()
     state = TrainState.create(params, tx)
+
+    start_epoch = 0
+    resume_path = resume_path or str(ckpt_path).replace(".pth", "_state.pth")
+    if resume and not is_gcs_path(resume_path) and os.path.exists(resume_path):
+        from tinydiffusionmodels_tpu.io import load_checkpoint
+        from tinydiffusionmodels_tpu.io.checkpoint import unet_from_state_dict
+
+        saved = load_checkpoint(resume_path)
+        # Optimizer state is stored as flat leaves; the treedef (optax
+        # namedtuple nesting) is rebuilt from a freshly-initialized template.
+        treedef = jax.tree_util.tree_structure(state.opt_state)
+        opt_state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(x) for x in saved["opt_state_leaves"]]
+        )
+        state = TrainState(
+            params=unet_from_state_dict(saved["model"]),
+            opt_state=opt_state,
+            step=jnp.asarray(saved["step"], dtype=jnp.int32),
+        )
+        start_epoch = int(saved["epoch"])
+        log_fn(f"[resume] restored epoch {start_epoch}, step {saved['step']} "
+               f"from {resume_path}")
+
     state = replicate_tree(mesh, state)
 
     # Scan-of-steps chunking: each dispatch runs `chunk` optimizer steps
@@ -181,7 +212,7 @@ def train(
     train_key = substream(key, "train")
 
     global_bs = batch_size
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         nsteps = 0
         pending: list[np.ndarray] = []
@@ -218,6 +249,20 @@ def train(
                 sample_path = samples_dir / f"epoch_{epoch + 1:03d}.png"
             save_samples(png, sample_path, mode="wb")
             log_fn(f"[epoch {epoch + 1}] saved samples to {sample_path}")
+
+        if resume:
+            save_checkpoint(
+                {
+                    "model": unet_to_state_dict(jax.device_get(state.params)),
+                    "opt_state_leaves": [
+                        np.asarray(x)
+                        for x in jax.tree_util.tree_leaves(state.opt_state)
+                    ],
+                    "step": int(state.step),
+                    "epoch": epoch + 1,
+                },
+                resume_path,
+            )
 
     save_checkpoint(unet_to_state_dict(jax.device_get(state.params)), ckpt_path)
     return jax.device_get(state.params)
