@@ -73,7 +73,7 @@ def bench_mnist_train(batch_size: int = 128, chunk: int = 50) -> float:
     return dispatches * chunk / (time.perf_counter() - t0)
 
 
-def bench_mnist_sample(n_samples: int = 64, quick: bool = False) -> float:
+def bench_mnist_sample(n_samples: int = 256, quick: bool = False) -> float:
     from tinydiffusionmodels_tpu.core import make_schedule
     from tinydiffusionmodels_tpu.models import init_unet, unet_apply
     from tinydiffusionmodels_tpu.sample.ancestral import sample_loop
@@ -183,7 +183,7 @@ def main() -> None:
                     "mnist_train_it_s_bs128": round(
                         results["mnist_train_it_s"], 2
                     ),
-                    "mnist_sample_samples_s_1000step_bs64": round(
+                    "mnist_sample_samples_s_1000step_bs256": round(
                         results["mnist_sample_samples_s"], 2
                     ),
                     "shakespeare_sample_steps_s_bs8": round(

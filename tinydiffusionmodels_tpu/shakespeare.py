@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--lm_epochs", type=int, default=3,
                         help="TinyGPT base-LM training epochs (guided fallback)")
     parser.add_argument("--lm_ckpt", type=str, default="lm_ckpt.pth")
+    parser.add_argument("--resume", action="store_true",
+                        help="checkpoint full train state each epoch and "
+                             "resume if present")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace to this directory")
     return parser
 
 
@@ -134,11 +139,15 @@ def main(argv=None) -> None:
         print("Nothing to do. Try --train or --guided_sample.")
         return
 
+    import contextlib
+
     import jax
 
-    from tinydiffusionmodels_tpu.runtime import enable_compile_cache
+    from tinydiffusionmodels_tpu.runtime import enable_compile_cache, profile_trace
 
     enable_compile_cache()
+    _prof = contextlib.ExitStack()
+    _prof.enter_context(profile_trace(args.profile_dir))
     from tinydiffusionmodels_tpu.core import make_schedule
     from tinydiffusionmodels_tpu.core.rng import substream
     from tinydiffusionmodels_tpu.data import load_text_corpus, tokenize_corpus
@@ -243,6 +252,7 @@ def main(argv=None) -> None:
             warmup_steps=args.warmup_steps,
             seed=args.seed,
             tokenizer_state=tokenizer_state,
+            resume=args.resume,
         )
         diff_params = final["diffusion_model"]
         rounding_params = final["rounding_fn"]
@@ -386,6 +396,8 @@ def main(argv=None) -> None:
                 use_learned_rounding=not use_cosine_fallback,
                 alpha=args.alpha,
             )
+
+    _prof.close()
 
 
 if __name__ == "__main__":

@@ -147,6 +147,7 @@ def train(
     mesh=None,
     resume: bool = False,
     resume_path: str | None = None,
+    metrics_path: str | None = None,
     log_fn=print,
 ) -> dict:
     """Full training run (reference src/mnist.py:128-165 surface).
@@ -164,6 +165,9 @@ def train(
         if "AIP_MODEL_DIR" in os.environ
         else ckpt_path
     )
+    from tinydiffusionmodels_tpu.train.metrics import MetricsLogger
+
+    metrics = MetricsLogger(metrics_path)
     images, _, source = load_mnist(data_root, train=True)
     if source == "synthetic":
         log_fn("[data] MNIST unavailable -> deterministic synthetic digits")
@@ -237,6 +241,15 @@ def train(
             f"Epoch {epoch + 1}/{epochs}: {nsteps} steps in {dt:.1f}s "
             f"({nsteps / dt:.1f} it/s), loss~{float(loss):.4f}"
         )
+        metrics.log(
+            {
+                "workload": "mnist",
+                "epoch": epoch + 1,
+                "steps": nsteps,
+                "it_per_s": round(nsteps / dt, 2),
+                "loss": float(loss),
+            }
+        )
         if sample_every_epoch:
             png = sample_grid_png(
                 state.params, sched, substream(jax.random.fold_in(key, epoch), "sample"),
@@ -265,6 +278,7 @@ def train(
             )
 
     save_checkpoint(unet_to_state_dict(jax.device_get(state.params)), ckpt_path)
+    metrics.close()
     return jax.device_get(state.params)
 
 

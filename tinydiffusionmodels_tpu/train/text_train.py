@@ -243,10 +243,17 @@ def train(
     seed: int = 0,
     mesh=None,
     tokenizer_state: dict | None = None,
+    resume: bool = False,
+    resume_path: str | None = None,
+    metrics_path: str | None = None,
     log_fn=print,
 ) -> dict:
     """Epoch loop with validation + early stopping
-    (reference src/shakespeare.py:174-341). Returns final params."""
+    (reference src/shakespeare.py:174-341). Returns final params.
+
+    ``resume=True`` adds the mid-training resume the reference lacks
+    (SURVEY.md §5.4): full train state (joint params, optimizer state, step,
+    epoch, early-stopping counters) checkpointed every epoch."""
     steps_per_epoch = num_batches(train_chunks.shape[0], batch_size)
     total_steps = steps_per_epoch * epochs
     lr_sched = (
@@ -273,11 +280,50 @@ def train(
         pretrained_matrix=pretrained_matrix,
     )
 
+    from tinydiffusionmodels_tpu.train.metrics import MetricsLogger
+
+    metrics = MetricsLogger(metrics_path)
     key = jax.random.PRNGKey(seed)
     best_val_loss = float("inf")
     patience_counter = 0
+    start_epoch = 0
 
-    for epoch in range(epochs):
+    resume_path = resume_path or str(ckpt_path).replace(".pth", "_state.pth")
+    if resume and os.path.exists(resume_path):
+        from tinydiffusionmodels_tpu.io import load_checkpoint
+        from tinydiffusionmodels_tpu.io.checkpoint import (
+            embedding_from_state_dict,
+            rounding_from_state_dict,
+            transformer_from_state_dict,
+        )
+
+        saved = load_checkpoint(resume_path)
+        params = {
+            "diffusion_model": transformer_from_state_dict(
+                saved["diffusion_model"]
+            ),
+            "rounding_fn": rounding_from_state_dict(saved["rounding_fn"]),
+        }
+        if "embedding_fn" in saved:
+            params["embedding_fn"] = embedding_from_state_dict(
+                saved["embedding_fn"]
+            )
+        treedef = jax.tree_util.tree_structure(state.opt_state)
+        opt_state = jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(x) for x in saved["opt_state_leaves"]]
+        )
+        state = replicate_tree(
+            mesh,
+            TrainState(
+                params, opt_state, jnp.asarray(saved["step"], jnp.int32)
+            ),
+        )
+        start_epoch = int(saved["epoch"])
+        best_val_loss = float(saved.get("best_val_loss", float("inf")))
+        patience_counter = int(saved.get("patience_counter", 0))
+        log_fn(f"[resume] restored epoch {start_epoch} from {resume_path}")
+
+    for epoch in range(start_epoch, epochs):
         w = dynamic_rounding_weight_schedule(epoch, epochs, rounding_weight)
         w_arr = jnp.asarray(w, dtype=jnp.float32)
 
@@ -320,6 +366,21 @@ def train(
             vn += 1
         val_losses = np.asarray(vsums) / max(vn, 1)
 
+        metrics.log(
+            {
+                "workload": "shakespeare",
+                "epoch": epoch + 1,
+                "steps": n,
+                "it_per_s": round(n / dt, 2),
+                "train_diff": float(train_losses[0]),
+                "train_round": float(train_losses[1]),
+                "train_total": float(train_losses[2]),
+                "val_diff": float(val_losses[0]),
+                "val_round": float(val_losses[1]),
+                "val_total": float(val_losses[2]),
+                "rounding_weight": w,
+            }
+        )
         log_fn(f"Epoch {epoch + 1}/{epochs} ({n} steps, {n / dt:.1f} it/s):")
         log_fn(
             f"  Train: diff={train_losses[0]:.4f}, round={train_losses[1]:.4f}, "
@@ -354,6 +415,23 @@ def train(
                 )
                 break
 
+        if resume:
+            resume_ckpt = _checkpoint_dict(
+                state.params, epoch=epoch + 1,
+                use_learned_embeddings=use_learned_embeddings,
+                extra={
+                    "opt_state_leaves": [
+                        np.asarray(x)
+                        for x in jax.tree_util.tree_leaves(state.opt_state)
+                    ],
+                    "step": int(state.step),
+                    "best_val_loss": best_val_loss,
+                    "patience_counter": patience_counter,
+                },
+                tokenizer_state=tokenizer_state,
+            )
+            save_checkpoint(resume_ckpt, resume_path)
+
     final_ckpt_path = (
         get_vertex_checkpoint_path("text-model.pth")
         if "AIP_MODEL_DIR" in os.environ
@@ -369,4 +447,5 @@ def train(
         ),
         final_ckpt_path,
     )
+    metrics.close()
     return jax.device_get(state.params)
