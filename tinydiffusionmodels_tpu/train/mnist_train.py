@@ -39,7 +39,6 @@ from tinydiffusionmodels_tpu.models import init_unet, unet_apply
 from tinydiffusionmodels_tpu.parallel import (
     make_mesh,
     replicate_tree,
-    shard_batch,
     shard_stacked_batch,
 )
 from tinydiffusionmodels_tpu.sample.ancestral import sample_loop
