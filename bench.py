@@ -158,6 +158,37 @@ def bench_text_sample(n: int = 8, seq_len: int = 64, dim: int = 256,
     return sched.timesteps / sec
 
 
+def bench_guided(n: int = 8, seq_len: int = 64) -> float:
+    """Guided decode throughput (tokens/sec) with the KV-cached scan.
+
+    The reference's loop re-runs the full base-LM forward on the whole
+    prefix per token (src/shakespeare.py:448) — O(L^2) LM compute plus a
+    Python dispatch per token; this path is one compiled scan.
+    """
+    from tinydiffusionmodels_tpu.models import (
+        init_tiny_gpt,
+        tiny_gpt_decode_step,
+        tiny_gpt_init_cache,
+    )
+    from tinydiffusionmodels_tpu.models.ar_lm import TinyGPTConfig
+    from tinydiffusionmodels_tpu.sample.guided import guided_generate_scan
+
+    cfg = TinyGPTConfig(vocab_size=4096, dim=256, n_heads=4, depth=4,
+                        max_len=seq_len + 1)
+    params = init_tiny_gpt(jax.random.PRNGKey(0), cfg)
+    diff_logits = jax.random.normal(
+        jax.random.PRNGKey(1), (n, seq_len, cfg.vocab_size)
+    )
+    decode = lambda cache, tok: tiny_gpt_decode_step(params, cache, tok, cfg)
+    fn = jax.jit(
+        lambda dl: guided_generate_scan(
+            decode, tiny_gpt_init_cache(cfg, n), dl, 0, alpha=0.3
+        )
+    )
+    sec = _timeit(fn, diff_logits, warmup=1, iters=3)
+    return n * seq_len / sec
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
@@ -169,6 +200,7 @@ def main() -> None:
     results["shakespeare_sample_steps_s"] = bench_text_sample(quick=args.quick)
     results["mnist_train_it_s"] = bench_mnist_train()
     results["mnist_sample_samples_s"] = bench_mnist_sample(quick=args.quick)
+    results["guided_tokens_s"] = bench_guided()
 
     headline = results["shakespeare_train_it_s"]
     print(
@@ -191,6 +223,9 @@ def main() -> None:
                     ),
                     "shakespeare_sample_vs_t4_601": round(
                         results["shakespeare_sample_steps_s"] / 601.0, 2
+                    ),
+                    "guided_decode_tokens_s_bs8": round(
+                        results["guided_tokens_s"], 2
                     ),
                 },
             }
