@@ -45,7 +45,7 @@ def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
     return sorted(times)[1]
 
 
-def bench_mnist_train(batch_size: int = 128, chunk: int = 50) -> float:
+def bench_mnist_train(batch_size: int = 128, chunk: int = 200) -> float:
     """Optimizer steps/sec via the production scan-of-steps path."""
     from tinydiffusionmodels_tpu.core import make_schedule
     from tinydiffusionmodels_tpu.models import init_unet
@@ -63,14 +63,15 @@ def bench_mnist_train(batch_size: int = 128, chunk: int = 50) -> float:
     key = jax.random.PRNGKey(2)
 
     state, _ = step(state, batches, key)  # compile
-    for _ in range(2):
-        state, _ = step(state, batches, key)
-    dispatches = 5
-    t0 = time.perf_counter()
-    for _ in range(dispatches):
-        state, loss = step(state, batches, key)
-    jax.block_until_ready(loss)
-    return dispatches * chunk / (time.perf_counter() - t0)
+    state, _ = step(state, batches, key)  # warm
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            state, loss = step(state, batches, key)
+        jax.block_until_ready(loss)
+        rates.append(2 * chunk / (time.perf_counter() - t0))
+    return sorted(rates)[1]
 
 
 def bench_mnist_sample(n_samples: int = 256, quick: bool = False) -> float:
@@ -89,7 +90,7 @@ def bench_mnist_sample(n_samples: int = 256, quick: bool = False) -> float:
 
 
 def bench_text_train(batch_size: int = 8, seq_len: int = 64,
-                     dim: int = 256, chunk: int = 50) -> float:
+                     dim: int = 256, chunk: int = 200) -> float:
     """Joint 3-model optimizer steps/sec via the scan-of-steps path
     (reference config bs=8/seq=64/dim=256; T4 baseline 25 it/s)."""
     from tinydiffusionmodels_tpu.core import make_schedule
@@ -127,14 +128,15 @@ def bench_text_train(batch_size: int = 8, seq_len: int = 64,
     k = jax.random.PRNGKey(4)
 
     state, _ = step(state, tokens, w, k)  # compile
-    for _ in range(2):
-        state, _ = step(state, tokens, w, k)
-    dispatches = 5
-    t0 = time.perf_counter()
-    for _ in range(dispatches):
-        state, losses = step(state, tokens, w, k)
-    jax.block_until_ready(losses)
-    return dispatches * chunk / (time.perf_counter() - t0)
+    state, _ = step(state, tokens, w, k)  # warm
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            state, losses = step(state, tokens, w, k)
+        jax.block_until_ready(losses)
+        rates.append(2 * chunk / (time.perf_counter() - t0))
+    return sorted(rates)[1]
 
 
 def bench_text_sample(n: int = 8, seq_len: int = 64, dim: int = 256,
