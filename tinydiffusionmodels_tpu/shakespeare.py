@@ -330,27 +330,76 @@ def main(argv=None) -> None:
                 raise RuntimeError(
                     f"--base_lm hf requested but {args.model_id} not loadable"
                 )
-            diff_logits = diffusion_position_logits(
-                z,
-                rounding_params=rounding_params,
-                embed_matrix=embed_matrix,
-                use_learned_rounding=not use_cosine_fallback,
-            )
-            texts = _guided_with_torch_lm(
-                torch_lm, tokenizer, np.asarray(diff_logits), alpha=args.alpha
-            )
-            from pathlib import Path
+            # Prefer running the base LM natively on TPU: Gemma checkpoints
+            # convert to the JAX implementation and use the KV-cached scan
+            # decoder; other architectures fall back to the torch loop
+            # (reference behavior, src/shakespeare.py:445-470).
+            jax_lm = None
+            try:
+                from tinydiffusionmodels_tpu.models.gemma import (
+                    GemmaConfig,
+                    gemma_decode_step,
+                    gemma_from_hf_state_dict,
+                    gemma_init_cache,
+                )
 
-            from tinydiffusionmodels_tpu.io import get_samples_dir, save_samples
+                if torch_lm.config.model_type == "gemma":
+                    sd = {
+                        k: v.detach().cpu().numpy()
+                        for k, v in torch_lm.state_dict().items()
+                    }
+                    gcfg = GemmaConfig.from_hf(
+                        torch_lm.config, max_len=max(args.seq_len + 1, 64)
+                    )
+                    jax_lm = (gemma_from_hf_state_dict(sd, gcfg), gcfg)
+                    print("[lm] running Gemma natively in JAX (scan decode)")
+            except Exception as e:
+                print(f"[lm] JAX Gemma conversion failed ({e}); torch loop")
 
-            samples_dir = get_samples_dir("samples")
-            for i, text in enumerate(texts):
-                if isinstance(samples_dir, str) and samples_dir.startswith("gs://"):
-                    sample_path = f"{samples_dir}/guided_sample_{i}.txt"
-                else:
-                    sample_path = Path(samples_dir) / f"guided_sample_{i}.txt"
-                save_samples(text, sample_path)
-                print(f"✔ Wrote {sample_path}")
+            if jax_lm is not None:
+                gparams, gcfg = jax_lm
+                decode = lambda cache, tok: gemma_decode_step(
+                    gparams, cache, tok, gcfg
+                )
+                guided_sample_text(
+                    decode,
+                    gemma_init_cache(gcfg, args.n),
+                    z, tokenizer,
+                    rounding_params=rounding_params,
+                    embed_matrix=embed_matrix,
+                    use_learned_rounding=not use_cosine_fallback,
+                    alpha=args.alpha,
+                )
+            else:
+                diff_logits = diffusion_position_logits(
+                    z,
+                    rounding_params=rounding_params,
+                    embed_matrix=embed_matrix,
+                    use_learned_rounding=not use_cosine_fallback,
+                )
+                texts = _guided_with_torch_lm(
+                    torch_lm, tokenizer, np.asarray(diff_logits),
+                    alpha=args.alpha,
+                )
+                from pathlib import Path
+
+                from tinydiffusionmodels_tpu.io import (
+                    get_samples_dir,
+                    save_samples,
+                )
+
+                samples_dir = get_samples_dir("samples")
+                for i, text in enumerate(texts):
+                    if isinstance(samples_dir, str) and samples_dir.startswith(
+                        "gs://"
+                    ):
+                        sample_path = f"{samples_dir}/guided_sample_{i}.txt"
+                    else:
+                        sample_path = (
+                            Path(samples_dir) / f"guided_sample_{i}.txt"
+                        )
+                    save_samples(text, sample_path)
+                    print(f"✔ Wrote {sample_path}")
         else:
             # TinyGPT fallback: load or train a local base LM.
             from tinydiffusionmodels_tpu.models import (
