@@ -49,6 +49,25 @@ class TestAttentionParity:
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    @pytest.mark.parametrize("l,causal", [(256, False), (256, True),
+                                          (200, False), (512, True)])
+    def test_flash_attention_matches_xla(self, l, causal):
+        """Tiled flash kernel vs XLA reference, incl. non-multiple lengths
+        and causal masking."""
+        key = jax.random.PRNGKey(0)
+        shape = (2, 2, l, 64)
+        q = jax.random.normal(key, shape)
+        k = jax.random.normal(jax.random.fold_in(key, 1), shape)
+        v = jax.random.normal(jax.random.fold_in(key, 2), shape)
+        mask = (
+            jnp.tril(jnp.ones((l, l), bool))[None, None] if causal else None
+        )
+        ref = xla_ref.attention(q, k, v, mask=mask)
+        out = pallas_kernels.flash_attention(q, k, v, causal=causal)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
     def test_masked_falls_back(self):
         """Masked attention routes to the XLA reference (exactness)."""
         shape = (1, 2, 8, 16)

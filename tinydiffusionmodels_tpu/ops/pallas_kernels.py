@@ -68,6 +68,9 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
             dropout_key=dropout_key,
         )
     b, h, l, dh = q.shape
+    if l > 128:
+        # Long sequences: tiled flash kernel, O(L) memory.
+        return flash_attention(q, k, v)
     bh = b * h
     qf = q.reshape(bh, l, dh)
     kf = k.reshape(bh, l, dh)
@@ -89,6 +92,118 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
         interpret=_interpret(),
     )(qf, kf, vf)
     return out.reshape(b, h, l, dh)
+
+
+# ---------------------------------------------------------------------------
+# Flash (tiled) attention for long sequences
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
+                  seq_len: int, causal: bool):
+    """Online-softmax attention over KV tiles.
+
+    Grid: (BH, num_q_blocks). Each step holds one q tile (block_q, dh) in
+    VMEM and streams KV tiles of ``block_k`` rows, maintaining the running
+    max m, normalizer l, and unnormalized accumulator acc — O(L) memory in
+    sequence length instead of the O(L^2) score matrix.
+    """
+    q = q_ref[0] * scale  # (block_q, dh)
+    block_q, dh = q.shape
+    qi = pl.program_id(1)
+    num_kv = pl.cdiv(seq_len, block_k)
+
+    def body(ki, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]  # (block_k, dh)
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, block_k)
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        valid = k_pos < seq_len  # mask zero-padded key rows in the last tile
+        if causal:
+            q_pos = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            valid = jnp.logical_and(valid, q_pos >= k_pos)
+        s = jnp.where(valid, s, jnp.finfo(jnp.float32).min)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        correction = jnp.exp(m - m_new)
+        l_new = correction * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = correction * acc + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q, 1), jnp.finfo(jnp.float32).min)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, dh), jnp.float32)
+
+    if causal:
+        # KV tiles strictly above the diagonal contribute nothing.
+        last = jnp.minimum(
+            num_kv, pl.cdiv((qi + 1) * block_q, block_k)
+        )
+    else:
+        last = num_kv
+    m, l, acc = jax.lax.fori_loop(0, last, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+def flash_attention(q, k, v, *, causal: bool = False, block_q: int = 128,
+                    block_k: int = 128):
+    """Tiled attention over (B, H, L, Dh); O(L) memory, arbitrary L.
+
+    Parity contract: ops.xla_ref.attention with mask=None (or the causal
+    triangle when causal=True). Pads L up to a block multiple internally.
+    """
+    b, h, l, dh = q.shape
+    block_q = min(block_q, max(8, l))
+    block_k = min(block_k, max(8, l))
+    pad = (-l) % block_q
+    pad_k = (-l) % block_k
+    pad = max(pad, pad_k)
+    if pad:
+        # Padded key rows are masked inside the kernel (k_pos < seq_len);
+        # padded query rows compute garbage and are sliced away below.
+        padding = [(0, 0), (0, 0), (0, pad), (0, 0)]
+        q = jnp.pad(q, padding)
+        k = jnp.pad(k, padding)
+        v = jnp.pad(v, padding)
+    lp = l + pad
+    bh = b * h
+    qf = q.reshape(bh, lp, dh)
+    kf = k.reshape(bh, lp, dh)
+    vf = v.reshape(bh, lp, dh)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel,
+            scale=1.0 / float(np.sqrt(dh)),
+            block_k=block_k,
+            seq_len=l,  # true length: stops KV iteration at real rows
+            causal=causal,
+        ),
+        grid=(bh, lp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, dh), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lp, dh), q.dtype),
+        interpret=_interpret(),
+    )(qf, kf, vf)
+    out = out.reshape(b, h, lp, dh)
+    return out[:, :, :l, :]
 
 
 # ---------------------------------------------------------------------------
