@@ -71,8 +71,9 @@ def make_train_step(
     return train_step
 
 
-def make_train_step_multi(sched: DiffusionSchedule, tx, n_inner: int):
-    """Scan ``n_inner`` optimizer steps inside ONE jitted dispatch.
+def make_train_step_multi(sched: DiffusionSchedule, tx, n_inner: int = 0):
+    """Scan K optimizer steps inside ONE jitted dispatch (K = leading dim of
+    the stacked batch; ``n_inner`` is advisory/documentation only).
 
     (state, batches (K, B, H, W, C), key) -> (state, mean_loss). Per-step
     PRNG keys are folded from ``key`` and the running step counter, so the
