@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
         "--profile_dir", type=str, default=None,
         help="capture a jax.profiler trace of the run to this directory",
     )
+    parser.add_argument(
+        "--metrics_path", type=str, default=None,
+        help="write per-epoch JSONL metrics here (or set TDM_METRICS_PATH)",
+    )
     return parser
 
 
@@ -72,6 +76,7 @@ def main(argv=None) -> None:
                 data_root=args.data_root,
                 sample_every_epoch=not args.no_epoch_samples,
                 resume=args.resume,
+                metrics_path=args.metrics_path,
             )
         if args.sample:
             mnist_train.sample(

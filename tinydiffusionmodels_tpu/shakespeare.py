@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "resume if present")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace to this directory")
+    parser.add_argument("--metrics_path", type=str, default=None,
+                        help="write per-epoch JSONL metrics here "
+                             "(or set TDM_METRICS_PATH)")
     return parser
 
 
@@ -253,6 +256,7 @@ def main(argv=None) -> None:
             seed=args.seed,
             tokenizer_state=tokenizer_state,
             resume=args.resume,
+            metrics_path=args.metrics_path,
         )
         diff_params = final["diffusion_model"]
         rounding_params = final["rounding_fn"]
