@@ -95,6 +95,35 @@ class TestShakespeareCli:
         assert (workdir / "samples" / "guided_sample_0.txt").exists()
         assert (workdir / "lm_ckpt.pth").exists()
 
+    def test_legacy_bare_checkpoint(self, workdir, capsys):
+        """Old single-model checkpoint format: load must warn and fall back
+        to cosine decoding (reference src/shakespeare.py:556-562)."""
+        import jax
+
+        from tinydiffusionmodels_tpu.io import save_checkpoint
+        from tinydiffusionmodels_tpu.io.checkpoint import (
+            transformer_to_state_dict,
+        )
+        from tinydiffusionmodels_tpu.models import init_tiny_transformer
+        from tinydiffusionmodels_tpu.models.transformer import (
+            TransformerConfig,
+        )
+
+        cfg = TransformerConfig(dim=32, n_heads=4, depth=3)
+        sd = transformer_to_state_dict(
+            init_tiny_transformer(jax.random.PRNGKey(0), cfg)
+        )
+        save_checkpoint(sd, "legacy.pth")  # bare state_dict, no wrapper dict
+
+        shakespeare_cli.main(
+            ["--sample", "--model_id", "char", "--seq_len", "8",
+             "--embed_dim", "32", "--n", "1",
+             "--ckpt", "legacy.pth", "--sampler", "ddim", "--steps", "3"]
+        )
+        out = capsys.readouterr().out
+        assert "old checkpoint format" in out.lower()
+        assert (workdir / "samples" / "sample_0.txt").exists()
+
     def test_cosine_fallback_path(self, workdir):
         common = [
             "--model_id", "char", "--seq_len", "16", "--embed_dim", "32",

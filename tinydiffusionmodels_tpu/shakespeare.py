@@ -297,6 +297,12 @@ def main(argv=None) -> None:
         import jax.numpy as jnp
 
         embed_matrix = jnp.asarray(pretrained_matrix)
+    elif embedding_params is not None:
+        # Legacy checkpoint + no HF matrix (hermetic env): the only usable
+        # decoding space is the freshly-initialized learned embedding.
+        print("Warning: no pre-trained embedding matrix available; cosine "
+              "decoding will use randomly-initialized embeddings.")
+        embed_matrix = embedding_matrix(embedding_params)
 
     # --- plain sampling ---------------------------------------------------
     if args.sample:
