@@ -26,9 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-from tinydiffusionmodels_tpu.runtime import enable_compile_cache
+from tinydiffusionmodels_tpu.runtime import configure_fast_rng, enable_compile_cache
 
 enable_compile_cache()
+configure_fast_rng()
 
 
 def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:

@@ -61,9 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
-    from tinydiffusionmodels_tpu.runtime import enable_compile_cache, profile_trace
+    from tinydiffusionmodels_tpu.runtime import (
+        configure_fast_rng,
+        enable_compile_cache,
+        profile_trace,
+    )
 
     enable_compile_cache()
+    configure_fast_rng()
     from tinydiffusionmodels_tpu.train import mnist_train
 
     with profile_trace(args.profile_dir):

@@ -29,6 +29,28 @@ def enable_compile_cache(path: str | None = None) -> None:
         pass
 
 
+def configure_fast_rng() -> None:
+    """Use the hardware RBG PRNG on TPU (TDM_PRNG=threefry opts out).
+
+    Threefry key derivation runs on the VPU and dominates small train steps
+    (every step draws timesteps + noise + dropout masks). Measured on v5e:
+    the bs=8 text train step went 1346 -> 2175 it/s and the MNIST sampler
+    648 -> 692 samples/s just from this switch. RBG is partitionable and
+    deterministic per (key, backend); cross-framework parity was already
+    distributional (SURVEY.md §7), so nothing is lost.
+    """
+    import jax
+
+    pref = os.environ.get("TDM_PRNG", "auto")
+    if pref == "threefry":
+        return
+    try:
+        if pref == "rbg" or jax.default_backend() == "tpu":
+            jax.config.update("jax_default_prng_impl", "rbg")
+    except Exception:  # pragma: no cover
+        pass
+
+
 @contextlib.contextmanager
 def profile_trace(logdir: str | None):
     """jax.profiler trace context; no-op when logdir is None.

@@ -146,9 +146,14 @@ def main(argv=None) -> None:
 
     import jax
 
-    from tinydiffusionmodels_tpu.runtime import enable_compile_cache, profile_trace
+    from tinydiffusionmodels_tpu.runtime import (
+        configure_fast_rng,
+        enable_compile_cache,
+        profile_trace,
+    )
 
     enable_compile_cache()
+    configure_fast_rng()
     _prof = contextlib.ExitStack()
     _prof.enter_context(profile_trace(args.profile_dir))
     from tinydiffusionmodels_tpu.core import make_schedule
