@@ -135,6 +135,31 @@ class TestSampler:
         assert out.shape == (2, 28, 28, 1)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_dpm_solver_runs(self, sched):
+        params = init_unet(jax.random.PRNGKey(0))
+        denoise = lambda x, t: unet_apply(params, x, t, timesteps=sched.timesteps)
+        out = sample_loop(
+            denoise, sched, (2, 28, 28, 1), jax.random.PRNGKey(5),
+            method="dpm++", num_steps=10,
+        )
+        assert out.shape == (2, 28, 28, 1)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_dpm_solver_close_to_ancestral_on_linear_model(self, sched):
+        """With a linear (exact-score-free) oracle model eps_hat = 0, all
+        samplers reduce to deterministic scaling of the init noise; dpm++
+        and ddim must approximately agree with each other."""
+        denoise = lambda x, t: jnp.zeros_like(x)
+        key = jax.random.PRNGKey(7)
+        a = sample_loop(denoise, sched, (2, 8, 8, 1), key,
+                        method="ddim", num_steps=10)
+        b = sample_loop(denoise, sched, (2, 8, 8, 1), key,
+                        method="dpm++", num_steps=10)
+        # eps=0 -> x0_hat = x/alpha; both solvers converge toward x/alpha_0.
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2
+        )
+
     def test_text_rank(self, sched):
         cfg = TransformerConfig(dim=32, depth=1, ffn_dim=64,
                                 timesteps=sched.timesteps)

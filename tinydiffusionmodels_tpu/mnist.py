@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_root", type=str, default="./data")
     parser.add_argument(
-        "--sampler", type=str, default="ancestral", choices=["ancestral", "ddim"]
+        "--sampler", type=str, default="ancestral", choices=["ancestral", "ddim", "dpm++"]
     )
     parser.add_argument(
         "--steps", type=int, default=None,

@@ -40,6 +40,7 @@ def sample_loop(
     denoise_fn: (x_t, t) -> eps_hat (already closed over params).
     method 'ancestral': DDPM, always sched.timesteps steps (reference parity).
     method 'ddim': ``num_steps`` strided DDIM steps (default 50).
+    method 'dpm++': DPM-Solver++(2M), ``num_steps`` steps (default 20).
     """
     init_key, loop_key = jax.random.split(key)
     x0 = jax.random.normal(init_key, shape, dtype=dtype)
@@ -55,6 +56,45 @@ def sample_loop(
             return x, None
 
         x, _ = jax.lax.scan(step, x0, ts)
+        return x
+
+    if method == "dpm++":
+        # DPM-Solver++(2M) (Lu et al. 2022, arXiv:2211.01095 — PAPERS.md):
+        # second-order multistep in log-SNR space on the data prediction.
+        # Typically matches ancestral quality in 15-25 steps.
+        n = num_steps or 20
+        ts = jnp.linspace(0, sched.timesteps - 1, n + 1).round().astype(
+            jnp.int32
+        )[::-1]  # t_0=T-1 ... t_n=0
+
+        acp = sched.alphas_cumprod
+        alphas = jnp.sqrt(jnp.take(acp, ts))
+        sigmas = jnp.sqrt(jnp.maximum(1.0 - jnp.take(acp, ts), 1e-12))
+        lams = jnp.log(alphas / sigmas)
+
+        def bshape(v):
+            return v.reshape(*([1] * len(shape)))
+
+        def dstep(carry, i):
+            x, x0_prev, h_prev = carry
+            t_cur = ts[i]
+            t_b = jnp.full((batch,), t_cur, dtype=jnp.int32)
+            eps = denoise_fn(x, t_b)
+            a_cur, s_cur = bshape(alphas[i]), bshape(sigmas[i])
+            a_nxt, s_nxt = bshape(alphas[i + 1]), bshape(sigmas[i + 1])
+            x0 = (x - s_cur * eps) / a_cur
+            h = lams[i + 1] - lams[i]
+            r = h_prev / h
+            # First step (h_prev=0 -> r=0 guarded): first-order update.
+            use_2m = (i > 0).astype(x.dtype)
+            r_safe = jnp.where(i > 0, r, 1.0)
+            d = x0 + use_2m * (0.5 / r_safe) * (x0 - x0_prev)
+            x_next = (s_nxt / s_cur) * x - a_nxt * jnp.expm1(-h) * d
+            return (x_next, x0, h), None
+
+        (x, _, _), _ = jax.lax.scan(
+            dstep, (x0, jnp.zeros_like(x0), jnp.zeros(())), jnp.arange(n)
+        )
         return x
 
     if method == "ddim":

@@ -64,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_root", type=str, default="./data")
     parser.add_argument("--sampler", type=str, default="ancestral",
-                        choices=["ancestral", "ddim"])
+                        choices=["ancestral", "ddim", "dpm++"])
     parser.add_argument("--steps", type=int, default=None,
                         help="sampler steps (ddim)")
     parser.add_argument("--base_lm", type=str, default="auto",

@@ -133,7 +133,7 @@ def main() -> None:
     parser.add_argument("--ckpt", type=str, default="ckpt.pth")
     parser.add_argument("--n", type=int, default=256)
     parser.add_argument("--sampler", type=str, default="ancestral",
-                        choices=["ancestral", "ddim"])
+                        choices=["ancestral", "ddim", "dpm++"])
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_root", type=str, default="./data")
