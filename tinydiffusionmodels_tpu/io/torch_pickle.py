@@ -182,14 +182,8 @@ def _stub(module: str, qualname: str):
     return fn
 
 
-class _StorageClassStub:
-    """Pickles as GLOBAL 'torch {name}' inside the persistent id tuple."""
-
-    def __init__(self, name: str):
-        self.__class__ = type(name, (_StorageClassStub,), {"__module__": "torch"})
-
-
 def _storage_class_stub(name: str):
+    """A class that pickles as GLOBAL 'torch {name}' in the persistent id."""
     cls = type(name, (), {"__module__": "torch", "__qualname__": name})
     return cls
 
@@ -277,8 +271,6 @@ def _wrap_tensors(obj: Any, sink: list[np.ndarray]) -> Any:
     """Replace array leaves with _TensorProxy, collecting storages in order."""
     if isinstance(obj, np.ndarray):
         arr = np.ascontiguousarray(obj)
-        if arr.dtype == np.dtype("<f8") and False:  # keep f64 as-is
-            pass
         key = len(sink)
         sink.append(arr)
         return _TensorProxy(arr, key)

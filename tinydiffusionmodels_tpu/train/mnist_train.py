@@ -112,6 +112,17 @@ def make_train_step_multi(sched: DiffusionSchedule, tx, n_inner: int = 0):
     return train_step_multi
 
 
+@partial(jax.jit, static_argnames=("n_samples", "method", "num_steps",
+                                   "timesteps"))
+def _sample_batch(params, key, *, n_samples, method, num_steps, timesteps):
+    sched = make_schedule(timesteps)
+    denoise = lambda x, t: unet_apply(params, x, t, timesteps=timesteps)
+    return sample_loop(
+        denoise, sched, (n_samples, 28, 28, 1), key,
+        method=method, num_steps=num_steps,
+    )
+
+
 def sample_grid_png(
     params,
     sched: DiffusionSchedule,
@@ -122,14 +133,15 @@ def sample_grid_png(
     num_steps: int | None = None,
 ) -> bytes:
     """Draw n_samples digits via the scanned sampler and encode the PNG grid
-    (reference src/mnist.py:99-126 without the torchvision/tempfile detour)."""
-    denoise = lambda x, t: unet_apply(params, x, t, timesteps=sched.timesteps)
-    x = jax.jit(
-        lambda k: sample_loop(
-            denoise, sched, (n_samples, 28, 28, 1), k,
-            method=method, num_steps=num_steps,
-        )
-    )(key)
+    (reference src/mnist.py:99-126 without the torchvision/tempfile detour).
+
+    The sampler is a module-level jit keyed on static config, so per-epoch
+    sampling during training reuses one compiled program instead of
+    retracing every epoch."""
+    x = _sample_batch(
+        params, key, n_samples=n_samples, method=method,
+        num_steps=num_steps, timesteps=sched.timesteps,
+    )
     imgs = (np.asarray(x)[..., 0].clip(-1, 1) + 1) / 2  # [-1,1] -> [0,1]
     return grid_png(imgs, nrow=int(math.sqrt(n_samples)))
 
@@ -222,7 +234,7 @@ def train(
         pending: list[np.ndarray] = []
         loss = jnp.zeros(())
 
-        def flush(state, pending, loss):
+        def flush(state, pending):
             stacked = np.stack(pending)
             batches = shard_stacked_batch(mesh, jnp.asarray(stacked))
             return train_multi(state, batches, train_key)
@@ -230,11 +242,11 @@ def train(
         for batch in batch_iterator(data, global_bs, seed=seed, epoch=epoch):
             pending.append(batch)
             if len(pending) == chunk:
-                state, loss = flush(state, pending, loss)
+                state, loss = flush(state, pending)
                 nsteps += chunk
                 pending = []
         if pending:
-            state, loss = flush(state, pending, loss)
+            state, loss = flush(state, pending)
             nsteps += len(pending)
         dt = time.perf_counter() - t0
         log_fn(
