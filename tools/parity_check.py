@@ -113,8 +113,113 @@ def torch_losses(data: np.ndarray, steps: int, batch_size: int, lr: float,
     return losses
 
 
+def jax_text_losses(tokens: np.ndarray, steps: int, batch_size: int,
+                    lr: float, seed: int, vocab: int, dim: int) -> list[float]:
+    import jax
+    import jax.numpy as jnp
+
+    from tinydiffusionmodels_tpu.core import make_schedule
+    from tinydiffusionmodels_tpu.models import (
+        init_learned_embedding,
+        init_learned_rounding,
+        init_tiny_transformer,
+    )
+    from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
+    from tinydiffusionmodels_tpu.train.optim import adamw
+    from tinydiffusionmodels_tpu.train.state import TrainState
+    from tinydiffusionmodels_tpu.train.text_train import make_text_train_step
+
+    sched = make_schedule()
+    cfg = TransformerConfig(dim=dim, n_heads=4, depth=3, dropout=0.1)
+    key = jax.random.PRNGKey(seed)
+    joint = {
+        "diffusion_model": init_tiny_transformer(key, cfg),
+        "rounding_fn": init_learned_rounding(jax.random.fold_in(key, 1),
+                                             dim, vocab),
+        "embedding_fn": init_learned_embedding(jax.random.fold_in(key, 2),
+                                               vocab, dim),
+    }
+    tx = adamw(lr, weight_decay=1e-4)
+    state = TrainState.create(joint, tx)
+    step = make_text_train_step(sched, cfg, tx, use_learned_embeddings=True)
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(1.0)
+    losses = []
+    for i in range(steps):
+        idx = rng.integers(0, tokens.shape[0], size=batch_size)
+        state, (d, r, t) = step(
+            state, jnp.asarray(tokens[idx]), w, jax.random.PRNGKey(1000 + i)
+        )
+        losses.append(float(t))
+    return losses
+
+
+def torch_text_losses(tokens: np.ndarray, steps: int, batch_size: int,
+                      lr: float, seed: int, vocab: int, dim: int) -> list[float]:
+    """Reference text stack verbatim (src/shakespeare.py:46-120,174-263)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(seed)
+    T = 1000
+    betas = torch.linspace(1e-4, 2e-2, T)
+    acp = torch.cumprod(1.0 - betas, dim=0)
+    sa, so = torch.sqrt(acp), torch.sqrt(1.0 - acp)
+
+    class RefTransformer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layer = nn.TransformerEncoderLayer(
+                d_model=dim, nhead=4, batch_first=True, dropout=0.1
+            )
+            self.encoder = nn.TransformerEncoder(layer, num_layers=3)
+            self.time_emb = nn.Linear(1, dim)
+            self.dropout = nn.Dropout(0.1)
+
+        def forward(self, x, t):
+            t_scaled = (t.float() / T).unsqueeze(-1)
+            x = x + self.time_emb(t_scaled).unsqueeze(1)
+            return self.encoder(self.dropout(x))
+
+    model = RefTransformer()
+    embedding = nn.Embedding(vocab, dim)
+    nn.init.normal_(embedding.weight, 0.0, 0.02)
+    rounding = nn.Linear(dim, vocab)
+    params = (
+        list(model.parameters()) + list(rounding.parameters())
+        + list(embedding.parameters())
+    )
+    opt = torch.optim.AdamW(params, lr=lr, weight_decay=1e-4)
+    rng = np.random.default_rng(seed)
+    losses = []
+    for i in range(steps):
+        idx = rng.integers(0, tokens.shape[0], size=batch_size)
+        ids = torch.from_numpy(tokens[idx])
+        x0 = embedding(ids)
+        t = torch.randint(0, T, (batch_size,))
+        noise = torch.randn_like(x0)
+        x_noisy = (
+            sa[t][:, None, None] * x0 + so[t][:, None, None] * noise
+        )
+        eps = model(x_noisy, t)
+        diff_loss = F.mse_loss(eps, noise)
+        logits = rounding(x0)
+        round_loss = F.cross_entropy(
+            logits.reshape(-1, vocab), ids.reshape(-1)
+        )
+        total = diff_loss + round_loss
+        opt.zero_grad()
+        total.backward()
+        opt.step()
+        losses.append(float(total))
+    return losses
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
+    parser.add_argument("--workload", choices=["mnist", "text"],
+                        default="mnist")
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--lr", type=float, default=1e-3)
@@ -122,13 +227,34 @@ def main() -> None:
     parser.add_argument("--data_limit", type=int, default=4096)
     args = parser.parse_args()
 
-    from tinydiffusionmodels_tpu.data.mnist import load_mnist, normalize_mnist
+    if args.workload == "mnist":
+        from tinydiffusionmodels_tpu.data.mnist import (
+            load_mnist,
+            normalize_mnist,
+        )
 
-    images, _, source = load_mnist("./data", synthetic_size=args.data_limit)
-    data = normalize_mnist(images[: args.data_limit])
+        images, _, source = load_mnist("./data", synthetic_size=args.data_limit)
+        data = normalize_mnist(images[: args.data_limit])
+        ours = jax_losses(data, args.steps, args.batch_size, args.lr, args.seed)
+        theirs = torch_losses(
+            data, args.steps, args.batch_size, args.lr, args.seed
+        )
+    else:
+        from tinydiffusionmodels_tpu.data import load_text_corpus
+        from tinydiffusionmodels_tpu.data.loader import tokenize_corpus
+        from tinydiffusionmodels_tpu.data.tokenizer import CharTokenizer
 
-    ours = jax_losses(data, args.steps, args.batch_size, args.lr, args.seed)
-    theirs = torch_losses(data, args.steps, args.batch_size, args.lr, args.seed)
+        corpus, source = load_text_corpus("./data", min_chars=200_000)
+        tok = CharTokenizer(corpus)
+        chunks, _ = tokenize_corpus(corpus[: args.data_limit * 64], tok, 32, 0.0)
+        ours = jax_text_losses(
+            chunks, args.steps, args.batch_size, args.lr, args.seed,
+            tok.vocab_size, 64,
+        )
+        theirs = torch_text_losses(
+            chunks, args.steps, args.batch_size, args.lr, args.seed,
+            tok.vocab_size, 64,
+        )
 
     tail = max(10, args.steps // 10)
     ours_tail = float(np.mean(ours[-tail:]))
@@ -137,6 +263,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "workload": args.workload,
                 "data_source": source,
                 "steps": args.steps,
                 "jax_first10": float(np.mean(ours[:10])),
