@@ -78,6 +78,39 @@ class TestGemmaParity:
             np.asarray(stepped), np.asarray(full), rtol=5e-4, atol=5e-4
         )
 
+    def test_torch_loop_guided_path(self, tiny_gemma):
+        """The CLI's torch-LM fallback decode loop (reference parity path)
+        runs against a real torch CausalLM and matches the JAX scan decode
+        given the same weights (greedy decoding is deterministic)."""
+        import numpy as np
+
+        from tinydiffusionmodels_tpu.sample.guided import guided_generate_scan
+        from tinydiffusionmodels_tpu.shakespeare import _guided_with_torch_lm
+
+        model, params, cfg = tiny_gemma
+
+        class Tok:
+            bos_token_id = 2
+            eos_token_id = 1
+
+            def batch_decode(self, ids, skip_special_tokens=True):
+                return [" ".join(map(str, row)) for row in np.asarray(ids)]
+
+        diff_logits = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(3), (2, 5, 97))
+        )
+        torch_texts = _guided_with_torch_lm(
+            model, Tok(), diff_logits, alpha=0.3
+        )
+
+        decode = lambda cache, tok: gemma_decode_step(params, cache, tok, cfg)
+        jax_tokens = guided_generate_scan(
+            decode, gemma_init_cache(cfg, 2), jnp.asarray(diff_logits), 2,
+            alpha=0.3,
+        )
+        jax_texts = Tok().batch_decode(np.asarray(jax_tokens))
+        assert torch_texts == jax_texts
+
     def test_guided_scan_integration(self, tiny_gemma):
         """Gemma decode step drops into the guided scan decoder."""
         from tinydiffusionmodels_tpu.sample.guided import guided_generate_scan
