@@ -68,6 +68,20 @@ class TestAttentionParity:
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    def test_long_sequence_routes_to_flash(self):
+        """The registry-facing pallas attention auto-routes L>128 through
+        the tiled flash kernel and still matches XLA."""
+        key = jax.random.PRNGKey(0)
+        shape = (1, 2, 320, 32)
+        q = jax.random.normal(key, shape)
+        k = jax.random.normal(jax.random.fold_in(key, 1), shape)
+        v = jax.random.normal(jax.random.fold_in(key, 2), shape)
+        out = pallas_kernels.attention(q, k, v)
+        ref = xla_ref.attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
     def test_masked_falls_back(self):
         """Masked attention routes to the XLA reference (exactness)."""
         shape = (1, 2, 8, 16)
