@@ -30,6 +30,17 @@ if os.environ.get("TDM_TEST_BACKEND", "cpu") == "cpu":
 
 import pytest  # noqa: E402
 
+# Persistent compile cache: repeated suite runs skip XLA recompiles of the
+# heavy scanned train steps (cache dir is gitignored; first run populates).
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(_REPO_ROOT, ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover
+    pass
+
 
 @pytest.fixture(scope="session")
 def eight_devices():
