@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="checkpoint full train state each epoch and resume if present",
     )
     parser.add_argument(
+        "--resume_every", type=int, default=1,
+        help="epochs between resume-state checkpoints",
+    )
+    parser.add_argument(
         "--profile_dir", type=str, default=None,
         help="capture a jax.profiler trace of the run to this directory",
     )
@@ -81,6 +85,7 @@ def main(argv=None) -> None:
                 data_root=args.data_root,
                 sample_every_epoch=not args.no_epoch_samples,
                 resume=args.resume,
+                resume_every=args.resume_every,
                 metrics_path=args.metrics_path,
             )
         if args.sample:

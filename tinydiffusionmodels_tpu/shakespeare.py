@@ -76,6 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", action="store_true",
                         help="checkpoint full train state each epoch and "
                              "resume if present")
+    parser.add_argument("--resume_every", type=int, default=1,
+                        help="epochs between resume-state checkpoints")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace to this directory")
     parser.add_argument("--metrics_path", type=str, default=None,
@@ -261,6 +263,7 @@ def main(argv=None) -> None:
             seed=args.seed,
             tokenizer_state=tokenizer_state,
             resume=args.resume,
+            resume_every=args.resume_every,
             metrics_path=args.metrics_path,
         )
         diff_params = final["diffusion_model"]

@@ -159,6 +159,7 @@ def train(
     mesh=None,
     resume: bool = False,
     resume_path: str | None = None,
+    resume_every: int = 1,
     metrics_path: str | None = None,
     log_fn=print,
 ) -> dict:
@@ -275,7 +276,7 @@ def train(
             save_samples(png, sample_path, mode="wb")
             log_fn(f"[epoch {epoch + 1}] saved samples to {sample_path}")
 
-        if resume:
+        if resume and (epoch + 1) % max(1, resume_every) == 0:
             save_checkpoint(
                 {
                     "model": unet_to_state_dict(jax.device_get(state.params)),

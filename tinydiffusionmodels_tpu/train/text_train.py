@@ -245,6 +245,7 @@ def train(
     tokenizer_state: dict | None = None,
     resume: bool = False,
     resume_path: str | None = None,
+    resume_every: int = 1,
     metrics_path: str | None = None,
     log_fn=print,
 ) -> dict:
@@ -415,7 +416,7 @@ def train(
                 )
                 break
 
-        if resume:
+        if resume and (epoch + 1) % max(1, resume_every) == 0:
             resume_ckpt = _checkpoint_dict(
                 state.params, epoch=epoch + 1,
                 use_learned_embeddings=use_learned_embeddings,
