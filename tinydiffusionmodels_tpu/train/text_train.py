@@ -44,7 +44,6 @@ from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
 from tinydiffusionmodels_tpu.parallel import (
     make_mesh,
     replicate_tree,
-    shard_batch,
     shard_stacked_batch,
 )
 from tinydiffusionmodels_tpu.train.optim import (
@@ -200,6 +199,31 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
     return eval_step
 
 
+def make_text_eval_multi(sched, cfg, *, use_learned_embeddings,
+                         pretrained_matrix=None):
+    """Scanned validation pass: (params, tokens (K, B, L), weight, key) ->
+    summed (diff, round, total) over K batches in one dispatch."""
+    eval_one = make_text_eval_step(
+        sched, cfg, use_learned_embeddings=use_learned_embeddings,
+        pretrained_matrix=pretrained_matrix,
+    )
+
+    @jax.jit
+    def eval_multi(params, token_batches, rounding_weight, key):
+        def body(i, sums):
+            d, r, t = eval_one(
+                params, token_batches[i], rounding_weight,
+                jax.random.fold_in(key, i),
+            )
+            return sums + jnp.stack([d, r, t])
+
+        return jax.lax.fori_loop(
+            0, token_batches.shape[0], body, jnp.zeros((3,))
+        )
+
+    return eval_multi
+
+
 def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
                      extra: dict | None = None, tokenizer_state: dict | None = None) -> dict:
     ckpt: dict[str, Any] = {
@@ -275,7 +299,7 @@ def train(
         use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix,
     )
-    eval_step = make_text_eval_step(
+    eval_multi = make_text_eval_multi(
         sched, cfg,
         use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix,
@@ -355,17 +379,17 @@ def train(
         train_losses = np.asarray(sums) / max(n, 1)
         dt = time.perf_counter() - t0
 
-        vsums = jnp.zeros((3,))
-        vn = 0
-        for j, tokens in enumerate(
-            batch_iterator(val_chunks, batch_size, shuffle=False)
-        ):
-            tokens = shard_batch(mesh, jnp.asarray(tokens))
-            vkey = jax.random.fold_in(substream(key, "val"), epoch * 10_000 + j)
-            d, r, t_ = eval_step(state.params, tokens, w_arr, vkey)
-            vsums = vsums + jnp.stack([d, r, t_])
-            vn += 1
-        val_losses = np.asarray(vsums) / max(vn, 1)
+        val_batches = list(batch_iterator(val_chunks, batch_size, shuffle=False))
+        vn = len(val_batches)
+        if vn:
+            stacked = shard_stacked_batch(
+                mesh, jnp.asarray(np.stack(val_batches))
+            )
+            vkey = jax.random.fold_in(substream(key, "val"), epoch)
+            vsums = eval_multi(state.params, stacked, w_arr, vkey)
+            val_losses = np.asarray(vsums) / vn
+        else:
+            val_losses = np.zeros((3,))
 
         metrics.log(
             {
