@@ -65,6 +65,46 @@ class TestSampleText:
         assert (tmp_path / "samples" / "sample_0.txt").exists()
         assert (tmp_path / "samples" / "sample_1.txt").exists()
 
+    def test_clamped_sampling(self, tmp_path, monkeypatch):
+        """Clamping keeps every intermediate x0 on the embedding manifold;
+        output decodes to valid tokens."""
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.delenv("AIP_MODEL_DIR", raising=False)
+        from tinydiffusionmodels_tpu.models import init_learned_embedding
+        from tinydiffusionmodels_tpu.models.embedding import embedding_matrix
+
+        sched = make_schedule(20)
+        cfg = TransformerConfig(dim=16, n_heads=4, depth=1, ffn_dim=32,
+                                timesteps=20)
+        diff = init_tiny_transformer(jax.random.PRNGKey(0), cfg)
+        tok = CharTokenizer("abcdefghij")
+        rounding = init_learned_rounding(jax.random.PRNGKey(1), 16,
+                                         tok.vocab_size)
+        emb = init_learned_embedding(jax.random.PRNGKey(2), tok.vocab_size, 16)
+        texts = sample_text(
+            diff, cfg, sched, tok, jax.random.PRNGKey(3),
+            rounding_params=rounding,
+            embed_matrix=embedding_matrix(emb),
+            n_samples=2, seq_len=6, embed_dim=16,
+            use_learned_rounding=True, clamp=True, save=False,
+            log_fn=lambda *a: None,
+        )
+        assert len(texts) == 2
+
+    def test_clamp_requires_embeddings(self):
+        sched = make_schedule(10)
+        cfg = TransformerConfig(dim=16, n_heads=4, depth=1, ffn_dim=32,
+                                timesteps=10)
+        diff = init_tiny_transformer(jax.random.PRNGKey(0), cfg)
+        tok = CharTokenizer("ab")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sample_text(
+                diff, cfg, sched, tok, jax.random.PRNGKey(1),
+                n_samples=1, seq_len=4, embed_dim=16, clamp=True, save=False,
+            )
+
     def test_embeddings_shape(self):
         sched = make_schedule(10)
         cfg = TransformerConfig(dim=16, n_heads=4, depth=1, ffn_dim=32,

@@ -29,6 +29,44 @@ from tinydiffusionmodels_tpu.sample.ancestral import sample_loop
 from tinydiffusionmodels_tpu.sample.guided import guided_generate_scan
 
 
+def make_clamped_denoiser(
+    diff_params: dict,
+    cfg: TransformerConfig,
+    sched: DiffusionSchedule,
+    *,
+    rounding_params: dict | None,
+    embedding_table: jax.Array,
+    use_learned_rounding: bool = True,
+):
+    """Denoiser wrapper implementing the Diffusion-LM "clamping trick"
+    (Li et al. 2022, §4): at every reverse step, snap the implied x0
+    estimate to its nearest embedding (via the rounding head or cosine
+    similarity) and re-derive eps from the clamped x0. Keeps the trajectory
+    on the embedding manifold, sharply reducing decode-time garbage.
+
+    Not present in the reference implementation (its sampler runs raw
+    ancestral steps, src/shakespeare.py:343-352) — an addition from the
+    Diffusion-LM paper the reference is based on. Returns a (x, t) -> eps
+    function usable by any sampler in sample/ancestral.py.
+    """
+    from tinydiffusionmodels_tpu.core.diffusion import _bcast
+
+    def denoise(x, t):
+        eps = tiny_transformer_apply(diff_params, x, t, cfg)
+        sqrt_acp = _bcast(sched.sqrt_alphas_cumprod, t, x.ndim)
+        sqrt_om = _bcast(sched.sqrt_one_minus_alphas_cumprod, t, x.ndim)
+        x0 = (x - sqrt_om * eps) / sqrt_acp
+        if use_learned_rounding:
+            logits = rounding_apply(rounding_params, x0)
+        else:
+            logits = cosine_logits(embedding_table, x0)
+        tokens = jnp.argmax(logits, axis=-1)
+        x0_clamped = jnp.take(embedding_table, tokens, axis=0)
+        return (x - sqrt_acp * x0_clamped) / sqrt_om
+
+    return denoise
+
+
 def sample_diffusion_embeddings(
     diff_params: dict,
     cfg: TransformerConfig,
@@ -84,14 +122,34 @@ def sample_text(
     save: bool = True,
     method: str = "ancestral",
     num_steps: int | None = None,
+    clamp: bool = False,
     log_fn=print,
 ) -> list[str]:
-    """Pure diffusion text sampling (reference src/shakespeare.py:355-415)."""
-    x = sample_diffusion_embeddings(
-        diff_params, cfg, sched, key,
-        n=n_samples, seq_len=seq_len, embed_dim=embed_dim,
-        method=method, num_steps=num_steps,
-    )
+    """Pure diffusion text sampling (reference src/shakespeare.py:355-415).
+
+    ``clamp=True`` enables the Diffusion-LM clamping trick (see
+    make_clamped_denoiser); requires an embedding table."""
+    if clamp:
+        if embed_matrix is None:
+            raise ValueError("clamp=True requires an embedding table")
+        denoise = make_clamped_denoiser(
+            diff_params, cfg, sched,
+            rounding_params=rounding_params,
+            embedding_table=embed_matrix,
+            use_learned_rounding=use_learned_rounding,
+        )
+        x = jax.jit(
+            lambda k: sample_loop(
+                denoise, sched, (n_samples, seq_len, embed_dim), k,
+                method=method, num_steps=num_steps,
+            )
+        )(key)
+    else:
+        x = sample_diffusion_embeddings(
+            diff_params, cfg, sched, key,
+            n=n_samples, seq_len=seq_len, embed_dim=embed_dim,
+            method=method, num_steps=num_steps,
+        )
     tokens = decode_embeddings(
         x,
         rounding_params=rounding_params,

@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "resume if present")
     parser.add_argument("--resume_every", type=int, default=1,
                         help="epochs between resume-state checkpoints")
+    parser.add_argument("--clamp", action="store_true",
+                        help="Diffusion-LM clamping trick: snap x0 to the "
+                             "nearest embedding at every reverse step")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace to this directory")
     parser.add_argument("--metrics_path", type=str, default=None,
@@ -323,6 +326,7 @@ def main(argv=None) -> None:
             n_samples=args.n, seq_len=args.seq_len, embed_dim=embed_dim,
             use_learned_rounding=not use_cosine_fallback,
             method=args.sampler, num_steps=args.steps,
+            clamp=args.clamp,
         )
 
     # --- guided sampling --------------------------------------------------
