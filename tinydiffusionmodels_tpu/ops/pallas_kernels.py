@@ -58,19 +58,8 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     ).astype(o_ref.dtype)
 
 
-def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
-              dropout_key=None):
-    """Fused attention over (B, H, L, Dh). Falls back to the XLA reference
-    for masked or dropout attention (training / causal decode)."""
-    if mask is not None or dropout_rate > 0.0:
-        return xla_ref.attention(
-            q, k, v, mask=mask, dropout_rate=dropout_rate,
-            dropout_key=dropout_key,
-        )
+def _attention_fwd_kernel_call(q, k, v):
     b, h, l, dh = q.shape
-    if l > 128:
-        # Long sequences: tiled flash kernel, O(L) memory.
-        return flash_attention(q, k, v)
     bh = b * h
     qf = q.reshape(bh, l, dh)
     kf = k.reshape(bh, l, dh)
@@ -92,6 +81,47 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
         interpret=_interpret(),
     )(qf, kf, vf)
     return out.reshape(b, h, l, dh)
+
+
+@jax.custom_vjp
+def _attention_diffable(q, k, v):
+    """Pallas forward + XLA-reference backward.
+
+    The Mosaic kernel has no autodiff rule; the custom VJP recomputes the
+    forward with the XLA reference under jax.vjp for gradients — the two
+    implementations agree to ~1e-5 (tests/test_ops.py), so the gradient is
+    consistent, and training with TDM_KERNELS=pallas works.
+    """
+    return _attention_fwd_kernel_call(q, k, v)
+
+
+def _attention_diffable_fwd(q, k, v):
+    return _attention_fwd_kernel_call(q, k, v), (q, k, v)
+
+
+def _attention_diffable_bwd(residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q, k, v: xla_ref.attention(q, k, v), q, k, v)
+    return vjp(g)
+
+
+_attention_diffable.defvjp(_attention_diffable_fwd, _attention_diffable_bwd)
+
+
+def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
+              dropout_key=None):
+    """Fused attention over (B, H, L, Dh). Falls back to the XLA reference
+    for masked or dropout attention (training / causal decode)."""
+    if mask is not None or dropout_rate > 0.0:
+        return xla_ref.attention(
+            q, k, v, mask=mask, dropout_rate=dropout_rate,
+            dropout_key=dropout_key,
+        )
+    b, h, l, dh = q.shape
+    if l > 128:
+        # Long sequences: tiled flash kernel, O(L) memory.
+        return flash_attention(q, k, v)
+    return _attention_diffable(q, k, v)
 
 
 # ---------------------------------------------------------------------------
@@ -154,13 +184,44 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention_diffable(q, k, v, causal, block_q, block_k):
+    return _flash_attention_impl(q, k, v, causal=causal, block_q=block_q,
+                                 block_k=block_k)
+
+
+def _flash_attention_fwd(q, k, v, causal, block_q, block_k):
+    out = _flash_attention_impl(q, k, v, causal=causal, block_q=block_q,
+                                block_k=block_k)
+    return out, (q, k, v)
+
+
+def _flash_attention_bwd(causal, block_q, block_k, residuals, g):
+    q, k, v = residuals
+    l = q.shape[2]
+    mask = jnp.tril(jnp.ones((l, l), bool))[None, None] if causal else None
+    _, vjp = jax.vjp(
+        lambda q, k, v: xla_ref.attention(q, k, v, mask=mask), q, k, v
+    )
+    return vjp(g)
+
+
+_flash_attention_diffable.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
 def flash_attention(q, k, v, *, causal: bool = False, block_q: int = 128,
                     block_k: int = 128):
     """Tiled attention over (B, H, L, Dh); O(L) memory, arbitrary L.
 
     Parity contract: ops.xla_ref.attention with mask=None (or the causal
     triangle when causal=True). Pads L up to a block multiple internally.
+    Differentiable: custom VJP runs the XLA reference backward.
     """
+    return _flash_attention_diffable(q, k, v, causal, block_q, block_k)
+
+
+def _flash_attention_impl(q, k, v, *, causal: bool, block_q: int,
+                          block_k: int):
     b, h, l, dh = q.shape
     block_q = min(block_q, max(8, l))
     block_k = min(block_k, max(8, l))
@@ -291,8 +352,30 @@ def _batch_block(b: int, hw: int, cmax: int) -> int:
     return bb
 
 
+@jax.custom_vjp
 def fused_resblock(x, p, time_bias):
-    """One-kernel residual block. x: (B, H, W, Cin); time_bias (B,1,1,Cout)."""
+    """One-kernel residual block. x: (B, H, W, Cin); time_bias (B,1,1,Cout).
+
+    Differentiable: custom VJP computes gradients through the XLA reference
+    implementation (numerically equivalent forward), so training with
+    TDM_KERNELS=pallas works end to end."""
+    return _fused_resblock_impl(x, p, time_bias)
+
+
+def _fused_resblock_fwd(x, p, time_bias):
+    return _fused_resblock_impl(x, p, time_bias), (x, p, time_bias)
+
+
+def _fused_resblock_bwd(residuals, g):
+    x, p, time_bias = residuals
+    _, vjp = jax.vjp(xla_ref.fused_resblock, x, p, time_bias)
+    return vjp(g)
+
+
+fused_resblock.defvjp(_fused_resblock_fwd, _fused_resblock_bwd)
+
+
+def _fused_resblock_impl(x, p, time_bias):
     b, H, W, cin = x.shape
     w1 = p["conv1"]["w"]          # (3, 3, Cin, Cout) HWIO
     cout = w1.shape[-1]
