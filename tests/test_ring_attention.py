@@ -25,6 +25,26 @@ class TestRingAttention:
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    @pytest.mark.parametrize("l", [128, 256])
+    def test_bidirectional_matches_full(self, eight_devices, l):
+        mesh = make_mesh()
+        key = jax.random.PRNGKey(3)
+        shape = (1, 2, l, 32)
+        q = jax.random.normal(key, shape)
+        k = jax.random.normal(jax.random.fold_in(key, 1), shape)
+        v = jax.random.normal(jax.random.fold_in(key, 2), shape)
+        ref = xla_ref.attention(q, k, v)
+        out = ring_attention(q, k, v, mesh, bidirectional=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_bidirectional_needs_even_shard(self, eight_devices):
+        mesh = make_mesh()
+        q = jnp.zeros((1, 1, 8, 16))  # 1 row per device -> odd shard
+        with pytest.raises(ValueError):
+            ring_attention(q, q, q, mesh, bidirectional=True)
+
     def test_output_stays_sequence_sharded(self, eight_devices):
         from jax.sharding import PartitionSpec as P
 

@@ -49,25 +49,57 @@ def ring_attention(
     mesh: Mesh,
     *,
     axis: str = "data",
+    bidirectional: bool = False,
 ) -> jax.Array:
-    """Full bidirectional attention with q/k/v sequence-sharded on ``axis``.
+    """Full (unmasked) attention with q/k/v sequence-sharded on ``axis``.
 
     q, k, v: (B, H, L, Dh) global arrays; L must divide by the axis size.
     Returns the (B, H, L, Dh) result with the same sharding.
+
+    ``bidirectional=True`` splits each device's KV shard in half and rotates
+    the halves in opposite directions simultaneously — same step count, half
+    the bytes per direction per step, so both ICI link directions carry
+    traffic instead of one idling (the bi-directional ring pattern from the
+    Pallas guide, expressed at the XLA-collective level).
     """
     b, h, l, dh = q.shape
     n = mesh.shape[axis]
     if l % n:
         raise ValueError(f"sequence {l} not divisible by ring size {n}")
+    if bidirectional and (l // n) % 2:
+        raise ValueError("bidirectional ring needs an even per-device shard")
     import math
 
     scale = 1.0 / math.sqrt(dh)  # dh is static (shape), jit-safe
-    perm = [(i, (i + 1) % n) for i in range(n)]
+    perm_fwd = [(i, (i + 1) % n) for i in range(n)]
+    perm_bwd = [(i, (i - 1) % n) for i in range(n)]
 
     def local(q_loc, k_loc, v_loc):
         m = jnp.full((*q_loc.shape[:-1], 1), jnp.finfo(jnp.float32).min)
         l_acc = jnp.zeros((*q_loc.shape[:-1], 1), jnp.float32)
         acc = jnp.zeros(q_loc.shape, jnp.float32)
+
+        if bidirectional:
+            half = k_loc.shape[2] // 2
+            ka, kb = k_loc[:, :, :half], k_loc[:, :, half:]
+            va, vb = v_loc[:, :, :half], v_loc[:, :, half:]
+
+            def step(i, carry):
+                m, l_acc, acc, ka, va, kb, vb = carry
+                m, l_acc, acc = _block_attend(q_loc, ka, va, scale,
+                                              m, l_acc, acc)
+                m, l_acc, acc = _block_attend(q_loc, kb, vb, scale,
+                                              m, l_acc, acc)
+                ka = jax.lax.ppermute(ka, axis, perm_fwd)
+                va = jax.lax.ppermute(va, axis, perm_fwd)
+                kb = jax.lax.ppermute(kb, axis, perm_bwd)
+                vb = jax.lax.ppermute(vb, axis, perm_bwd)
+                return m, l_acc, acc, ka, va, kb, vb
+
+            m, l_acc, acc, *_ = jax.lax.fori_loop(
+                0, n, step, (m, l_acc, acc, ka, va, kb, vb)
+            )
+            return (acc / l_acc).astype(q_loc.dtype)
 
         def step(i, carry):
             m, l_acc, acc, k_blk, v_blk = carry
@@ -75,8 +107,8 @@ def ring_attention(
                                           m, l_acc, acc)
             # Rotate KV to the next device over ICI; the last rotation's
             # result is unused but keeps the loop shape static.
-            k_blk = jax.lax.ppermute(k_blk, axis, perm)
-            v_blk = jax.lax.ppermute(v_blk, axis, perm)
+            k_blk = jax.lax.ppermute(k_blk, axis, perm_fwd)
+            v_blk = jax.lax.ppermute(v_blk, axis, perm_fwd)
             return m, l_acc, acc, k_blk, v_blk
 
         m, l_acc, acc, _, _ = jax.lax.fori_loop(
