@@ -35,6 +35,15 @@ class TestRegistry:
             registry.set_backend("cuda")
 
 
+def _attn_tol():
+    """Compiled Mosaic uses VPU transcendental approximations (exp in the
+    softmax), costing ~1e-3 absolute vs XLA on TPU; the CPU interpreter is
+    bit-faithful to the math."""
+    if jax.default_backend() == "tpu":
+        return dict(rtol=5e-3, atol=5e-3)
+    return dict(rtol=2e-5, atol=2e-5)
+
+
 class TestAttentionParity:
     @pytest.mark.parametrize("l,dh", [(64, 64), (128, 64), (16, 32)])
     def test_matches_xla(self, l, dh):
@@ -46,7 +55,7 @@ class TestAttentionParity:
         ref = xla_ref.attention(q, k, v)
         out = pallas_kernels.attention(q, k, v)
         np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+            np.asarray(out), np.asarray(ref), **_attn_tol()
         )
 
     @pytest.mark.parametrize("l,causal", [(256, False), (256, True),
@@ -65,7 +74,7 @@ class TestAttentionParity:
         ref = xla_ref.attention(q, k, v, mask=mask)
         out = pallas_kernels.flash_attention(q, k, v, causal=causal)
         np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+            np.asarray(out), np.asarray(ref), **_attn_tol()
         )
 
     def test_long_sequence_routes_to_flash(self):
@@ -79,7 +88,7 @@ class TestAttentionParity:
         out = pallas_kernels.attention(q, k, v)
         ref = xla_ref.attention(q, k, v)
         np.testing.assert_allclose(
-            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+            np.asarray(out), np.asarray(ref), **_attn_tol()
         )
 
     def test_masked_falls_back(self):
