@@ -7,6 +7,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+def _hw_tol():
+    """TPU matmul/conv accumulation differs from CPU torch (bf16-passes,
+    ordering); CPU-vs-CPU comparisons are much tighter."""
+    if jax.default_backend() == "tpu":
+        return dict(rtol=5e-3, atol=5e-3)
+    return dict(rtol=1e-4, atol=1e-5)
+
 from tinydiffusionmodels_tpu.models import (
     init_unet,
     unet_apply,
@@ -136,7 +144,7 @@ class TestUNet:
             jnp.asarray(t),
         )
         np.testing.assert_allclose(
-            np.moveaxis(np.asarray(ours), -1, 1), ref_out, rtol=1e-4, atol=1e-5
+            np.moveaxis(np.asarray(ours), -1, 1), ref_out, **_hw_tol()
         )
 
 
@@ -235,7 +243,7 @@ class TestTinyTransformer:
         ours = tiny_transformer_apply(
             params, jnp.asarray(x), jnp.asarray(t), cfg, deterministic=True
         )
-        np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ours), ref_out, **_hw_tol())
 
 
 class TestEmbeddingAndRounding:
@@ -302,6 +310,11 @@ class TestTinyGPT:
             logits, cache = tiny_gpt_decode_step(params, cache, ids[:, pos], self.cfg)
             step_logits.append(logits)
         stepped = jnp.stack(step_logits, axis=1)
+        # TPU: cached decode attends over the padded max_len cache while the
+        # full forward attends over L — different matmul tilings/accumulation
+        # order cost up to ~1e-2 absolute on raw logits.
+        tol = (dict(rtol=5e-3, atol=2e-2)
+               if jax.default_backend() == "tpu" else dict(rtol=2e-4, atol=2e-5))
         np.testing.assert_allclose(
-            np.asarray(stepped), np.asarray(full), rtol=2e-4, atol=2e-5
+            np.asarray(stepped), np.asarray(full), **tol
         )
