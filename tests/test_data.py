@@ -40,6 +40,17 @@ class TestMnist:
         out = _read_idx(p)
         np.testing.assert_array_equal(out, images)
 
+    def test_idx_gz_reader(self, tmp_path):
+        import gzip
+        import struct
+
+        images = np.arange(28 * 28, dtype=np.uint8).reshape(1, 28, 28)
+        raw = struct.pack(">IIII", 0x803, 1, 28, 28) + images.tobytes()
+        p = tmp_path / "train-images-idx3-ubyte.gz"
+        p.write_bytes(gzip.compress(raw))
+        out = _read_idx(p)
+        np.testing.assert_array_equal(out, images)
+
     def test_idx_layout_detected(self, tmp_path):
         import struct
 

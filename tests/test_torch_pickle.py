@@ -164,6 +164,79 @@ class TestTorchReadsOurFiles:
         np.testing.assert_array_equal(back["w"], sd["w"])
 
 
+class TestRandomizedRoundtrip:
+    """Randomized nested structures through both directions of the codec."""
+
+    def _random_tree(self, rng, depth=0):
+        kind = rng.integers(0, 6 if depth < 3 else 4)
+        if kind == 0:
+            shape = tuple(rng.integers(1, 5, size=rng.integers(1, 4)))
+            dt = rng.choice(["f4", "f8", "i8", "i4", "u1"])
+            return (rng.standard_normal(shape) * 10).astype(dt)
+        if kind == 1:
+            return int(rng.integers(-1000, 1000))
+        if kind == 2:
+            return float(rng.standard_normal())
+        if kind == 3:
+            return rng.choice(["alpha", "beta", "gamma"]).item()
+        if kind == 4:
+            return {
+                f"k{i}": self._random_tree(rng, depth + 1)
+                for i in range(rng.integers(1, 4))
+            }
+        return [self._random_tree(rng, depth + 1)
+                for _ in range(rng.integers(1, 4))]
+
+    def _assert_equal(self, a, b):
+        if isinstance(a, np.ndarray):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        elif isinstance(a, dict):
+            assert set(a) == set(b)
+            for k in a:
+                self._assert_equal(a[k], b[k])
+        elif isinstance(a, (list, tuple)):
+            assert len(a) == len(b)
+            for x, y in zip(a, b):
+                self._assert_equal(x, y)
+        else:
+            assert a == b
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_torch_reads_random_trees(self, seed):
+        rng = np.random.default_rng(seed)
+        tree = {"root": self._random_tree(rng)}
+        out = _roundtrip_via_torch(tree)
+
+        def to_np(x):
+            return x.numpy() if isinstance(x, torch.Tensor) else x
+
+        def walk(x):
+            if isinstance(x, dict):
+                return {k: walk(v) for k, v in x.items()}
+            if isinstance(x, (list, tuple)):
+                return [walk(v) for v in x]
+            return to_np(x)
+
+        self._assert_equal(tree, walk(out))
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_we_read_torch_random_trees(self, seed):
+        rng = np.random.default_rng(seed + 100)
+        tree = {"root": self._random_tree(rng)}
+
+        def to_torch(x):
+            if isinstance(x, np.ndarray):
+                return torch.from_numpy(x.copy())
+            if isinstance(x, dict):
+                return {k: to_torch(v) for k, v in x.items()}
+            if isinstance(x, list):
+                return [to_torch(v) for v in x]
+            return x
+
+        out = _roundtrip_via_ours(to_torch(tree))
+        self._assert_equal(tree, out)
+
+
 class TestPureRoundtrip:
     def test_ours_to_ours(self):
         obj = {"a": np.arange(6, dtype=np.float32).reshape(2, 3), "n": 1}
