@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--clamp", action="store_true",
                         help="Diffusion-LM clamping trick: snap x0 to the "
                              "nearest embedding at every reverse step")
+    parser.add_argument("--temperature", type=float, default=1.0,
+                        help="guided-sampling logit temperature (the "
+                             "reference hardcodes 1.0)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace to this directory")
     parser.add_argument("--metrics_path", type=str, default=None,
@@ -391,6 +394,7 @@ def main(argv=None) -> None:
                     embed_matrix=embed_matrix,
                     use_learned_rounding=not use_cosine_fallback,
                     alpha=args.alpha,
+                    temperature=args.temperature,
                 )
             else:
                 diff_logits = diffusion_position_logits(
@@ -401,7 +405,7 @@ def main(argv=None) -> None:
                 )
                 texts = _guided_with_torch_lm(
                     torch_lm, tokenizer, np.asarray(diff_logits),
-                    alpha=args.alpha,
+                    alpha=args.alpha, temperature=args.temperature,
                 )
                 from pathlib import Path
 
@@ -466,6 +470,7 @@ def main(argv=None) -> None:
                 embed_matrix=embed_matrix,
                 use_learned_rounding=not use_cosine_fallback,
                 alpha=args.alpha,
+                temperature=args.temperature,
             )
 
     _prof.close()
