@@ -6,9 +6,15 @@ hard published number: 25 it/s on a Tesla T4, BASELINE.md). vs_baseline is
 ours / 25.
 
 The "extra" field carries the rest of the suite with their own baselines:
-- mnist_train_it_s             (bs=128 UNet step; no published baseline)
+- mnist_train_it_s             (bs=128 UNet step; ref baseline measured by
+                                tools/ref_baseline.py on this machine)
 - mnist_sample_samples_s       (1000-step ancestral, batched; north-star metric)
 - shakespeare_sample_steps_s   (reverse-diffusion steps/sec; T4: 387-601)
+- mfu                          (model FLOPs utilization per metric: XLA
+                                cost-analysis FLOPs of the single step x
+                                achieved rate / chip peak — perf.py)
+- roofline points: large-batch bf16 train MFU, showing how far the
+  reference's tiny configs sit from the chip's compute roof.
 
 Usage: python bench.py [--quick]
 """
@@ -26,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+from tinydiffusionmodels_tpu import perf
 from tinydiffusionmodels_tpu.runtime import configure_fast_rng, enable_compile_cache
 
 enable_compile_cache()
@@ -46,22 +53,38 @@ def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
     return sorted(times)[1]
 
 
-def bench_mnist_train(batch_size: int = 128, chunk: int = 200) -> float:
-    """Optimizer steps/sec via the production scan-of-steps path."""
+def _mnist_setup():
     from tinydiffusionmodels_tpu.core import make_schedule
     from tinydiffusionmodels_tpu.models import init_unet
-    from tinydiffusionmodels_tpu.train.mnist_train import make_train_step_multi
+    from tinydiffusionmodels_tpu.train.mnist_train import (
+        make_train_step,
+        make_train_step_multi,
+    )
     from tinydiffusionmodels_tpu.train.optim import adamw
     from tinydiffusionmodels_tpu.train.state import TrainState
 
     sched = make_schedule()
     tx = adamw(1e-3)
     state = TrainState.create(init_unet(jax.random.PRNGKey(0)), tx)
-    step = make_train_step_multi(sched, tx, chunk)
+    return sched, tx, state, make_train_step, make_train_step_multi
+
+
+def bench_mnist_train(batch_size: int = 128, chunk: int = 200,
+                      compute_dtype=None) -> tuple[float, float | None]:
+    """(optimizer steps/sec via the scan-of-steps path, FLOPs per step)."""
+    sched, tx, state, make_step, make_multi = _mnist_setup()
+    step = make_multi(sched, tx, chunk, compute_dtype=compute_dtype)
     batches = jax.random.normal(
         jax.random.PRNGKey(1), (chunk, batch_size, 28, 28, 1)
     )
     key = jax.random.PRNGKey(2)
+
+    # FLOPs from the UNSCANNED single step (scan bodies are counted once
+    # by XLA cost analysis — perf.py).
+    single = make_step(sched, tx, compute_dtype=compute_dtype)
+    flops = perf.compiled_flops(
+        single, state, batches[0], key
+    )
 
     state, _ = step(state, batches, key)  # compile
     state, _ = step(state, batches, key)  # warm
@@ -72,33 +95,55 @@ def bench_mnist_train(batch_size: int = 128, chunk: int = 200) -> float:
             state, loss = step(state, batches, key)
         jax.block_until_ready(loss)
         rates.append(2 * chunk / (time.perf_counter() - t0))
-    return sorted(rates)[1]
+    return sorted(rates)[1], flops
 
 
 def bench_mnist_sample(n_samples: int = 256, quick: bool = False,
                        method: str = "ancestral",
-                       num_steps: int | None = None) -> float:
-    from tinydiffusionmodels_tpu.core import make_schedule
+                       num_steps: int | None = None,
+                       compute_dtype=None) -> tuple[float, float | None]:
+    """(samples/sec, FLOPs per sample)."""
+    from tinydiffusionmodels_tpu.core import make_schedule, p_sample
     from tinydiffusionmodels_tpu.models import init_unet, unet_apply
     from tinydiffusionmodels_tpu.sample.ancestral import sample_loop
 
     sched = make_schedule()
     params = init_unet(jax.random.PRNGKey(0))
-    denoise = lambda x, t: unet_apply(params, x, t, timesteps=sched.timesteps)
+    if compute_dtype is not None:
+        from tinydiffusionmodels_tpu.train.precision import cast_floating
+
+        params_c = cast_floating(params, compute_dtype)
+        denoise = lambda x, t: unet_apply(
+            params_c, x.astype(compute_dtype), t, timesteps=sched.timesteps
+        ).astype(jnp.float32)
+    else:
+        denoise = lambda x, t: unet_apply(
+            params, x, t, timesteps=sched.timesteps
+        )
     fn = jax.jit(
         lambda k: sample_loop(
             denoise, sched, (n_samples, 28, 28, 1), k,
             method=method, num_steps=num_steps,
         )
     )
+
+    # FLOPs of one reverse step (denoise + p_sample update) x step count.
+    def one_step(x, t, key):
+        return p_sample(sched, x, t, denoise(x, t), key)
+
+    x = jnp.zeros((n_samples, 28, 28, 1), jnp.float32)
+    t = jnp.zeros((n_samples,), jnp.int32)
+    step_flops = perf.compiled_flops(one_step, x, t, jax.random.PRNGKey(0))
+    nsteps = sched.timesteps if method == "ancestral" else (num_steps or 20)
+    flops_per_sample = (
+        step_flops * nsteps / n_samples if step_flops else None
+    )
+
     sec = _timeit(fn, jax.random.PRNGKey(1), warmup=1, iters=1 if quick else 3)
-    return n_samples / sec
+    return n_samples / sec, flops_per_sample
 
 
-def bench_text_train(batch_size: int = 8, seq_len: int = 64,
-                     dim: int = 256, chunk: int = 200) -> float:
-    """Joint 3-model optimizer steps/sec via the scan-of-steps path
-    (reference config bs=8/seq=64/dim=256; T4 baseline 25 it/s)."""
+def _text_setup(batch_size, seq_len, dim, compute_dtype=None):
     from tinydiffusionmodels_tpu.core import make_schedule
     from tinydiffusionmodels_tpu.models import (
         init_learned_embedding,
@@ -108,9 +153,6 @@ def bench_text_train(batch_size: int = 8, seq_len: int = 64,
     from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
     from tinydiffusionmodels_tpu.train.optim import adamw
     from tinydiffusionmodels_tpu.train.state import TrainState
-    from tinydiffusionmodels_tpu.train.text_train import (
-        make_text_train_step_multi,
-    )
 
     vocab = 4096  # stand-in vocab; throughput is vocab-insensitive at this size
     sched = make_schedule()
@@ -124,14 +166,35 @@ def bench_text_train(batch_size: int = 8, seq_len: int = 64,
     }
     tx = adamw(1e-4)
     state = TrainState.create(joint, tx)
+    return sched, cfg, tx, state, vocab
+
+
+def bench_text_train(batch_size: int = 8, seq_len: int = 64,
+                     dim: int = 256, chunk: int = 200,
+                     compute_dtype=None) -> tuple[float, float | None]:
+    """(joint 3-model optimizer steps/sec via scan-of-steps, FLOPs per step).
+    Reference config bs=8/seq=64/dim=256; T4 baseline 25 it/s."""
+    from tinydiffusionmodels_tpu.train.text_train import (
+        make_text_train_step,
+        make_text_train_step_multi,
+    )
+
+    sched, cfg, tx, state, vocab = _text_setup(batch_size, seq_len, dim)
     step = make_text_train_step_multi(
-        sched, cfg, tx, use_learned_embeddings=True
+        sched, cfg, tx, use_learned_embeddings=True,
+        compute_dtype=compute_dtype,
     )
     tokens = jax.random.randint(
         jax.random.PRNGKey(3), (chunk, batch_size, seq_len), 0, vocab
     )
     w = jnp.asarray(1.0)
     k = jax.random.PRNGKey(4)
+
+    single = make_text_train_step(
+        sched, cfg, tx, use_learned_embeddings=True,
+        compute_dtype=compute_dtype,
+    )
+    flops = perf.compiled_flops(single, state, tokens[0], w, k)
 
     state, _ = step(state, tokens, w, k)  # compile
     state, _ = step(state, tokens, w, k)  # warm
@@ -142,13 +205,14 @@ def bench_text_train(batch_size: int = 8, seq_len: int = 64,
             state, losses = step(state, tokens, w, k)
         jax.block_until_ready(losses)
         rates.append(2 * chunk / (time.perf_counter() - t0))
-    return sorted(rates)[1]
+    return sorted(rates)[1], flops
 
 
 def bench_text_sample(n: int = 8, seq_len: int = 64, dim: int = 256,
-                      quick: bool = False) -> float:
-    """Reverse-diffusion steps/sec (the reference's tqdm it/s unit)."""
-    from tinydiffusionmodels_tpu.core import make_schedule
+                      quick: bool = False) -> tuple[float, float | None]:
+    """(reverse-diffusion steps/sec — the reference's tqdm it/s unit,
+    FLOPs per reverse step)."""
+    from tinydiffusionmodels_tpu.core import make_schedule, p_sample
     from tinydiffusionmodels_tpu.models import init_tiny_transformer
     from tinydiffusionmodels_tpu.models.transformer import (
         TransformerConfig,
@@ -162,12 +226,20 @@ def bench_text_sample(n: int = 8, seq_len: int = 64, dim: int = 256,
     params = init_tiny_transformer(jax.random.PRNGKey(0), cfg)
     denoise = lambda x, t: tiny_transformer_apply(params, x, t, cfg)
     fn = jax.jit(lambda k: sample_loop(denoise, sched, (n, seq_len, dim), k))
+
+    def one_step(x, t, key):
+        return p_sample(sched, x, t, denoise(x, t), key)
+
+    x = jnp.zeros((n, seq_len, dim), jnp.float32)
+    t = jnp.zeros((n,), jnp.int32)
+    step_flops = perf.compiled_flops(one_step, x, t, jax.random.PRNGKey(0))
+
     sec = _timeit(fn, jax.random.PRNGKey(1), warmup=1, iters=1 if quick else 3)
-    return sched.timesteps / sec
+    return sched.timesteps / sec, step_flops
 
 
-def bench_guided(n: int = 8, seq_len: int = 64) -> float:
-    """Guided decode throughput (tokens/sec) with the KV-cached scan.
+def bench_guided(n: int = 8, seq_len: int = 64) -> tuple[float, float | None]:
+    """(guided decode tokens/sec with the KV-cached scan, FLOPs per token).
 
     The reference's loop re-runs the full base-LM forward on the whole
     prefix per token (src/shakespeare.py:448) — O(L^2) LM compute plus a
@@ -193,8 +265,14 @@ def bench_guided(n: int = 8, seq_len: int = 64) -> float:
             decode, tiny_gpt_init_cache(cfg, n), dl, 0, alpha=0.3
         )
     )
+
+    cache0 = tiny_gpt_init_cache(cfg, n)
+    tok0 = jnp.zeros((n,), jnp.int32)
+    step_flops = perf.compiled_flops(decode, cache0, tok0)
+    flops_per_token = step_flops / n if step_flops else None
+
     sec = _timeit(fn, diff_logits, warmup=1, iters=3)
-    return n * seq_len / sec
+    return n * seq_len / sec, flops_per_token
 
 
 def main() -> None:
@@ -203,17 +281,48 @@ def main() -> None:
     args = parser.parse_args()
 
     backend = jax.default_backend()
-    results = {}
-    results["shakespeare_train_it_s"] = bench_text_train()
-    results["shakespeare_sample_steps_s"] = bench_text_sample(quick=args.quick)
-    results["mnist_train_it_s"] = bench_mnist_train()
-    results["mnist_sample_samples_s"] = bench_mnist_sample(quick=args.quick)
-    results["mnist_sample_dpmpp20_s"] = bench_mnist_sample(
+    device_kind = getattr(jax.devices()[0], "device_kind", backend)
+    peak = perf.device_peak_flops()
+
+    r = {}
+    mfu = {}
+
+    def record(name, rate, flops):
+        r[name] = rate
+        m = perf.mfu(flops, rate)
+        if m is not None:
+            mfu[name] = round(m, 4)
+
+    rate, flops = bench_text_train()
+    record("shakespeare_train_it_s", rate, flops)
+    rate, flops = bench_text_sample(quick=args.quick)
+    record("shakespeare_sample_steps_s", rate, flops)
+    rate, flops = bench_mnist_train()
+    record("mnist_train_it_s", rate, flops)
+    rate, flops = bench_mnist_sample(quick=args.quick)
+    record("mnist_sample_samples_s", rate, flops)
+    rate, flops = bench_mnist_sample(
         quick=args.quick, method="dpm++", num_steps=20
     )
-    results["guided_tokens_s"] = bench_guided()
+    record("mnist_sample_dpmpp20_s", rate, flops)
+    rate, flops = bench_guided()
+    record("guided_tokens_s", rate, flops)
 
-    headline = results["shakespeare_train_it_s"]
+    # Roofline points: large-batch bf16 training, where the MXU should be
+    # busy. Shows how far the reference's tiny configs sit from the roof
+    # (docs/…/mfu-roofline journal post).
+    bf16 = jnp.bfloat16
+    chunk = 20 if args.quick else 50
+    rate, flops = bench_mnist_train(
+        batch_size=2048, chunk=chunk, compute_dtype=bf16
+    )
+    record("mnist_train_bs2048_bf16_it_s", rate, flops)
+    rate, flops = bench_text_train(
+        batch_size=512, chunk=chunk, compute_dtype=bf16
+    )
+    record("shakespeare_train_bs512_bf16_it_s", rate, flops)
+
+    headline = r["shakespeare_train_it_s"]
     print(
         json.dumps(
             {
@@ -223,27 +332,34 @@ def main() -> None:
                 "vs_baseline": round(headline / 25.0, 2),  # T4: 25 it/s
                 "extra": {
                     "backend": backend,
-                    "mnist_train_it_s_bs128": round(
-                        results["mnist_train_it_s"], 2
-                    ),
+                    "device_kind": device_kind,
+                    "peak_flops_bf16": peak,
+                    "mnist_train_it_s_bs128": round(r["mnist_train_it_s"], 2),
                     "mnist_sample_samples_s_1000step_bs256": round(
-                        results["mnist_sample_samples_s"], 2
+                        r["mnist_sample_samples_s"], 2
                     ),
                     "shakespeare_sample_steps_s_bs8": round(
-                        results["shakespeare_sample_steps_s"], 2
+                        r["shakespeare_sample_steps_s"], 2
                     ),
                     "shakespeare_sample_vs_t4_601": round(
-                        results["shakespeare_sample_steps_s"] / 601.0, 2
+                        r["shakespeare_sample_steps_s"] / 601.0, 2
                     ),
                     "guided_decode_tokens_s_bs8": round(
-                        results["guided_tokens_s"], 2
+                        r["guided_tokens_s"], 2
                     ),
                     # DPM-Solver++(2M) 20 steps matches ancestral-1000
                     # fidelity (IS 6.20 vs 6.43, tools/fidelity.py) — the
                     # quality-matched sampling throughput.
                     "mnist_sample_dpmpp20_samples_s_bs256": round(
-                        results["mnist_sample_dpmpp20_s"], 2
+                        r["mnist_sample_dpmpp20_s"], 2
                     ),
+                    "mnist_train_bs2048_bf16_it_s": round(
+                        r["mnist_train_bs2048_bf16_it_s"], 2
+                    ),
+                    "shakespeare_train_bs512_bf16_it_s": round(
+                        r["shakespeare_train_bs512_bf16_it_s"], 2
+                    ),
+                    "mfu": mfu,
                 },
             }
         )

@@ -60,7 +60,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--metrics_path", type=str, default=None,
         help="write per-epoch JSONL metrics here (or set TDM_METRICS_PATH)",
     )
+    parser.add_argument(
+        "--dtype", type=str, default=os.environ.get("TDM_DTYPE", "f32"),
+        choices=["f32", "bf16"],
+        help="compute dtype for the train step (master params stay f32)",
+    )
     return parser
+
+
+def _dtype(name: str):
+    from tinydiffusionmodels_tpu.train.precision import resolve_compute_dtype
+
+    return resolve_compute_dtype(name)
 
 
 def main(argv=None) -> None:
@@ -87,6 +98,7 @@ def main(argv=None) -> None:
                 resume=args.resume,
                 resume_every=args.resume_every,
                 metrics_path=args.metrics_path,
+                compute_dtype=_dtype(args.dtype),
             )
         if args.sample:
             mnist_train.sample(

@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--metrics_path", type=str, default=None,
                         help="write per-epoch JSONL metrics here "
                              "(or set TDM_METRICS_PATH)")
+    parser.add_argument("--dtype", type=str,
+                        default=os.environ.get("TDM_DTYPE", "f32"),
+                        choices=["f32", "bf16"],
+                        help="compute dtype for the train step "
+                             "(master params stay f32)")
     return parser
 
 
@@ -242,6 +247,9 @@ def main(argv=None) -> None:
     # --- train ------------------------------------------------------------
     if args.train:
         from tinydiffusionmodels_tpu.train import text_train
+        from tinydiffusionmodels_tpu.train.precision import (
+            resolve_compute_dtype,
+        )
 
         train_chunks, val_chunks = tokenize_corpus(
             corpus, tokenizer, args.seq_len, args.val_split
@@ -271,6 +279,7 @@ def main(argv=None) -> None:
             resume=args.resume,
             resume_every=args.resume_every,
             metrics_path=args.metrics_path,
+            compute_dtype=resolve_compute_dtype(args.dtype),
         )
         diff_params = final["diffusion_model"]
         rounding_params = final["rounding_fn"]

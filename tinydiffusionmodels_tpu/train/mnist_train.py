@@ -43,13 +43,17 @@ from tinydiffusionmodels_tpu.parallel import (
 )
 from tinydiffusionmodels_tpu.sample.ancestral import sample_loop
 from tinydiffusionmodels_tpu.train.optim import adamw
+from tinydiffusionmodels_tpu.train.precision import cast_floating
 from tinydiffusionmodels_tpu.train.state import TrainState
 
 
 def make_train_step(
-    sched: DiffusionSchedule, tx
+    sched: DiffusionSchedule, tx, *, compute_dtype=None
 ) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, jax.Array]]:
-    """Build the jitted train step: (state, batch NHWC, key) -> (state, loss)."""
+    """Build the jitted train step: (state, batch NHWC, key) -> (state, loss).
+
+    ``compute_dtype=jnp.bfloat16`` runs the UNet forward/backward in bf16
+    (master params, grads and AdamW state stay f32; loss reduced in f32)."""
 
     def loss_fn(params, batch, key):
         b = batch.shape[0]
@@ -58,8 +62,11 @@ def make_train_step(
         )
         noise = jax.random.normal(substream(key, "noise"), batch.shape)
         x_noisy = q_sample(sched, batch, t, noise)
-        eps_pred = unet_apply(params, x_noisy, t, timesteps=sched.timesteps)
-        return jnp.mean((eps_pred - noise) ** 2)
+        params_c = cast_floating(params, compute_dtype)
+        if compute_dtype is not None:
+            x_noisy = x_noisy.astype(compute_dtype)
+        eps_pred = unet_apply(params_c, x_noisy, t, timesteps=sched.timesteps)
+        return jnp.mean(jnp.square(eps_pred.astype(jnp.float32) - noise))
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, key):
@@ -71,7 +78,8 @@ def make_train_step(
     return train_step
 
 
-def make_train_step_multi(sched: DiffusionSchedule, tx, n_inner: int = 0):
+def make_train_step_multi(sched: DiffusionSchedule, tx, n_inner: int = 0,
+                          *, compute_dtype=None):
     """Scan K optimizer steps inside ONE jitted dispatch (K = leading dim of
     the stacked batch; ``n_inner`` is advisory/documentation only).
 
@@ -92,8 +100,11 @@ def make_train_step_multi(sched: DiffusionSchedule, tx, n_inner: int = 0):
         )
         noise = jax.random.normal(substream(key, "noise"), batch.shape)
         x_noisy = q_sample(sched, batch, t, noise)
-        eps_pred = unet_apply(params, x_noisy, t, timesteps=sched.timesteps)
-        return jnp.mean((eps_pred - noise) ** 2)
+        params_c = cast_floating(params, compute_dtype)
+        if compute_dtype is not None:
+            x_noisy = x_noisy.astype(compute_dtype)
+        eps_pred = unet_apply(params_c, x_noisy, t, timesteps=sched.timesteps)
+        return jnp.mean(jnp.square(eps_pred.astype(jnp.float32) - noise))
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step_multi(state: TrainState, batches, key):
@@ -161,6 +172,7 @@ def train(
     resume_path: str | None = None,
     resume_every: int = 1,
     metrics_path: str | None = None,
+    compute_dtype=None,
     log_fn=print,
 ) -> dict:
     """Full training run (reference src/mnist.py:128-165 surface).
@@ -225,13 +237,19 @@ def train(
     # Scan-of-steps chunking: each dispatch runs `chunk` optimizer steps
     # (see make_train_step_multi). The remainder chunk compiles once more.
     chunk = max(1, int(os.environ.get("TDM_SCAN_CHUNK", "25")))
-    train_multi = make_train_step_multi(sched, tx, chunk)
+    train_multi = make_train_step_multi(sched, tx, chunk,
+                                        compute_dtype=compute_dtype)
     train_key = substream(key, "train")
+    # Per-chunk progress (the reference shows live tqdm it/s,
+    # src/mnist.py:151; with scan-of-steps the finest grain is one chunk).
+    progress_every = int(os.environ.get("TDM_PROGRESS_EVERY", "10"))
+    epoch_steps = (data.shape[0] // batch_size) or 1
 
     global_bs = batch_size
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         nsteps = 0
+        nflush = 0
         pending: list[np.ndarray] = []
         loss = jnp.zeros(())
 
@@ -240,12 +258,22 @@ def train(
             batches = shard_stacked_batch(mesh, jnp.asarray(stacked))
             return train_multi(state, batches, train_key)
 
+        def progress(nsteps, loss, t0):
+            dt = time.perf_counter() - t0
+            log_fn(
+                f"[epoch {epoch + 1}] step {nsteps}/{epoch_steps} "
+                f"({nsteps / dt:.1f} it/s), loss~{float(loss):.4f}"
+            )
+
         for batch in batch_iterator(data, global_bs, seed=seed, epoch=epoch):
             pending.append(batch)
             if len(pending) == chunk:
                 state, loss = flush(state, pending)
                 nsteps += chunk
+                nflush += 1
                 pending = []
+                if progress_every and nflush % progress_every == 0:
+                    progress(nsteps, loss, t0)
         if pending:
             state, loss = flush(state, pending)
             nsteps += len(pending)

@@ -51,6 +51,7 @@ from tinydiffusionmodels_tpu.train.optim import (
     cosine_schedule_with_warmup,
     dynamic_rounding_weight_schedule,
 )
+from tinydiffusionmodels_tpu.train.precision import cast_floating
 from tinydiffusionmodels_tpu.train.state import TrainState
 
 
@@ -67,21 +68,32 @@ def _losses(
     pretrained_matrix: jax.Array | None,
     deterministic: bool,
     key: jax.Array | None,
+    compute_dtype=None,
 ):
-    """Joint diffusion + rounding loss (reference src/shakespeare.py:224-243)."""
+    """Joint diffusion + rounding loss (reference src/shakespeare.py:224-243).
+
+    ``compute_dtype=jnp.bfloat16`` runs the transformer/rounding forward in
+    bf16 (grads and losses stay f32)."""
     if use_learned_embeddings:
         x0 = embedding_apply(joint_params["embedding_fn"], token_ids)
     else:
         x0 = jnp.take(pretrained_matrix, token_ids, axis=0)
     x_noisy = q_sample(sched, x0, t, noise)
+    params_c = cast_floating(joint_params, compute_dtype)
+    x0_c = x0
+    if compute_dtype is not None:
+        x_noisy = x_noisy.astype(compute_dtype)
+        x0_c = x0.astype(compute_dtype)
     eps_pred = tiny_transformer_apply(
-        joint_params["diffusion_model"], x_noisy, t, cfg,
+        params_c["diffusion_model"], x_noisy, t, cfg,
         deterministic=deterministic, key=key,
     )
-    diffusion_loss = jnp.mean((eps_pred - noise) ** 2)
+    diffusion_loss = jnp.mean(
+        jnp.square(eps_pred.astype(jnp.float32) - noise)
+    )
 
-    logits = rounding_apply(joint_params["rounding_fn"], x0)  # (B, L, V)
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logits = rounding_apply(params_c["rounding_fn"], x0_c)  # (B, L, V)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     rounding_loss = -jnp.mean(
         jnp.take_along_axis(logp, token_ids[..., None], axis=-1)
     )
@@ -90,7 +102,7 @@ def _losses(
 
 
 def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
-                         pretrained_matrix=None):
+                         pretrained_matrix=None, compute_dtype=None):
     """(state, tokens (B,L), weight, key) -> (state, (diff, round, total))."""
 
     def loss_fn(params, token_ids, rounding_weight, key):
@@ -111,6 +123,7 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=False, key=substream(key, "dropout"),
+            compute_dtype=compute_dtype,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -127,7 +140,7 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
 
 
 def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
-                               pretrained_matrix=None):
+                               pretrained_matrix=None, compute_dtype=None):
     """Scan K optimizer steps in one dispatch (see mnist_train.
     make_train_step_multi for why): (state, tokens (K, B, L), weight, key)
     -> (state, summed (diff, round, total))."""
@@ -150,6 +163,7 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=False, key=substream(key, "dropout"),
+            compute_dtype=compute_dtype,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -173,7 +187,7 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
 
 
 def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
-                        pretrained_matrix=None):
+                        pretrained_matrix=None, compute_dtype=None):
     @jax.jit
     def eval_step(params, token_ids, rounding_weight, key):
         b = token_ids.shape[0]
@@ -193,6 +207,7 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=True, key=None,
+            compute_dtype=compute_dtype,
         )
         return diff, round_, total
 
@@ -200,12 +215,12 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
 
 
 def make_text_eval_multi(sched, cfg, *, use_learned_embeddings,
-                         pretrained_matrix=None):
+                         pretrained_matrix=None, compute_dtype=None):
     """Scanned validation pass: (params, tokens (K, B, L), weight, key) ->
     summed (diff, round, total) over K batches in one dispatch."""
     eval_one = make_text_eval_step(
         sched, cfg, use_learned_embeddings=use_learned_embeddings,
-        pretrained_matrix=pretrained_matrix,
+        pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
     )
 
     @jax.jit
@@ -271,6 +286,7 @@ def train(
     resume_path: str | None = None,
     resume_every: int = 1,
     metrics_path: str | None = None,
+    compute_dtype=None,
     log_fn=print,
 ) -> dict:
     """Epoch loop with validation + early stopping
@@ -297,12 +313,12 @@ def train(
     train_multi = make_text_train_step_multi(
         sched, cfg, tx,
         use_learned_embeddings=use_learned_embeddings,
-        pretrained_matrix=pretrained_matrix,
+        pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
     )
     eval_multi = make_text_eval_multi(
         sched, cfg,
         use_learned_embeddings=use_learned_embeddings,
-        pretrained_matrix=pretrained_matrix,
+        pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
     )
 
     from tinydiffusionmodels_tpu.train.metrics import MetricsLogger
@@ -355,6 +371,10 @@ def train(
         t0 = time.perf_counter()
         sums = jnp.zeros((3,))
         n = 0
+        nflush = 0
+        # Per-chunk progress (reference shows tqdm it/s + loss postfix,
+        # src/shakespeare.py:219,257-263; finest grain here is one chunk).
+        progress_every = int(os.environ.get("TDM_PROGRESS_EVERY", "10"))
         train_key = substream(key, "train")
         pending: list[np.ndarray] = []
 
@@ -372,7 +392,15 @@ def train(
             if len(pending) == chunk:
                 state, sums = flush(state, sums, pending)
                 n += chunk
+                nflush += 1
                 pending = []
+                if progress_every and nflush % progress_every == 0:
+                    dt = time.perf_counter() - t0
+                    log_fn(
+                        f"[epoch {epoch + 1}] step {n}/{steps_per_epoch} "
+                        f"({n / dt:.1f} it/s), "
+                        f"loss~{float(sums[2]) / max(n, 1):.4f}"
+                    )
         if pending:
             state, sums = flush(state, sums, pending)
             n += len(pending)
