@@ -22,10 +22,17 @@ from tinydiffusionmodels_tpu.ops import xla_ref
 _override: str | None = None
 
 # Per-op winners under 'auto' on TPU, decided by measurement (v5e-1,
-# steady-state in-scan timings; see ops/pallas_kernels.py docstrings):
-# - attention: pallas 0.48us vs xla 0.69us per call (B8/H4/L64/Dh64) -> pallas
-# - fused_resblock: xla 308us vs pallas 563us (B128, 14x14x32->64); XLA's
-#   native conv lowering wins at these tiny spatial dims -> xla
+# tools/kernel_bench.py — scan-length-delta timing with per-call input
+# variation; naive timings are dominated by ~25 ms fixed remote-dispatch
+# cost and defeated by the terminal's result memoization):
+# - attention (B8/H4/L64/Dh64): pallas flash 5.1us vs xla 7.9us -> pallas
+#   (flash for all unmasked lengths; L>=512 unmasked is faster in xla but
+#   the O(L^2) score buffer caps length, so flash keeps the long-seq path).
+# - fused_resblock: xla WINS at every production shape — e.g. 64->64@14x14
+#   B128: xla 19.9us = 186 TFLOP/s = 94% of v5e bf16 peak, vs pallas
+#   123.8us. XLA's conv emitter is at the MXU/HBM roofline for these tiny
+#   convs (docs: mfu-roofline post); the Pallas kernel is kept as the
+#   reference fused formulation -> xla.
 _AUTO_TPU = {"attention": "pallas", "fused_resblock": "xla", "conv2d": "xla"}
 
 
