@@ -10,12 +10,15 @@ Kernels:
   The whole score matrix lives in VMEM/registers — no HBM materialization of
   the (L, L) attention weights. Covers the sampler/eval hot path (no mask,
   no dropout); L and Dh are padded to TPU tiles by the compiler.
+- ``flash_attention``: unrolled tiled online-softmax attention with real
+  Pallas recompute backward kernels (dq + dkv from the saved logsumexp) —
+  O(L) memory for forward AND training.
 - ``fused_resblock``: the ENTIRE UNet residual block
   (conv3x3 -> bias -> relu -> +time-bias -> conv3x3 -> bias -> relu -> +skip)
-  as one kernel per batch element. 3x3 SAME convs are expressed as 9
-  shifted (HW, Cin) @ (Cin, Cout) MXU matmuls with boundary masking, so the
-  intermediate activations never round-trip to HBM between the two convs
-  (reference block: src/mnist.py:56-61).
+  as one kernel per batch chunk; 3x3 taps are static slices of the
+  spatially pre-padded block, so the intermediate activations never
+  round-trip to HBM between the two convs (reference src/mnist.py:56-61).
+  Kept as reference code: XLA's conv emitter wins at these shapes.
 """
 
 from __future__ import annotations
@@ -83,15 +86,48 @@ def _attention_fwd_kernel_call(q, k, v):
     return out.reshape(b, h, l, dh)
 
 
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
+                          dv_ref, *, scale: float):
+    """Whole-block attention backward per (batch, head): recompute the
+    softmax in VMEM, then dv = p^T dO; ds = p*(dO v^T - rowsum(dO*o));
+    dq = ds k * scale; dk = ds^T q * scale. No HBM residuals beyond the
+    inputs — the score matrix never leaves the chip."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    d = jnp.sum(do * o, axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - d)
+    dq_ref[0] = (jnp.dot(ds.astype(k.dtype), k,
+                         preferred_element_type=jnp.float32)
+                 * scale).astype(dq_ref.dtype)
+    dk_ref[0] = (jax.lax.dot_general(
+        ds.astype(q.dtype), q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(dk_ref.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(do.dtype), do,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+
+
 @jax.custom_vjp
 def _attention_diffable(q, k, v):
-    """Pallas forward + XLA-reference backward.
-
-    The Mosaic kernel has no autodiff rule; the custom VJP recomputes the
-    forward with the XLA reference under jax.vjp for gradients — the two
-    implementations agree to ~1e-5 (tests/test_ops.py), so the gradient is
-    consistent, and training with TDM_KERNELS=pallas works.
-    """
+    """Pallas forward + Pallas recompute backward (single VMEM block)."""
     return _attention_fwd_kernel_call(q, k, v)
 
 
@@ -101,8 +137,23 @@ def _attention_diffable_fwd(q, k, v):
 
 def _attention_diffable_bwd(residuals, g):
     q, k, v = residuals
-    _, vjp = jax.vjp(lambda q, k, v: xla_ref.attention(q, k, v), q, k, v)
-    return vjp(g)
+    b, h, l, dh = q.shape
+    bh = b * h
+    spec = pl.BlockSpec((1, l, dh), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((bh, l, dh), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attention_bwd_kernel,
+                          scale=1.0 / float(np.sqrt(dh))),
+        grid=(bh,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        interpret=_interpret(),
+    )(q.reshape(bh, l, dh), k.reshape(bh, l, dh), v.reshape(bh, l, dh),
+      g.reshape(bh, l, dh))
+    rs = lambda a: a.reshape(b, h, l, dh)
+    return rs(dq), rs(dk), rs(dv)
 
 
 _attention_diffable.defvjp(_attention_diffable_fwd, _attention_diffable_bwd)
@@ -117,9 +168,17 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
             q, k, v, mask=mask, dropout_rate=dropout_rate,
             dropout_key=dropout_key,
         )
-    # Flash for every unmasked length: measured faster than both the XLA
-    # reference and the single-block kernel at the production L=64 shape
-    # (tools/kernel_bench.py: 5.1us vs 7.9/8.4us), and O(L) memory beyond.
+    # Measured routing (tools/kernel_bench.py, v5e, host-read sync): XLA's
+    # fused attention wins while its (L, L) score buffers stay on-chip
+    # (L=64: ~1us; B8/L512: 24us vs flash 87us). Once the total score
+    # footprint spills to HBM, the unrolled flash kernel wins (B8/L1024:
+    # XLA 571us vs flash ~190us; B2/L2048: 556us vs 177us). Threshold set
+    # between the measured B4/L1024=64MB (XLA fast) and B8/L1024=128MB
+    # (XLA spilled) points. Flash also keeps O(L) memory for any length.
+    b, h, l, dh = q.shape
+    score_bytes = b * h * l * l * 4
+    if score_bytes <= 96 * 1024 * 1024:
+        return xla_ref.attention(q, k, v)
     return flash_attention(q, k, v)
 
 
@@ -127,24 +186,33 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
 # Flash (tiled) attention for long sequences
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
-                  seq_len: int, causal: bool):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                  block_k: int, seq_len: int, causal: bool):
     """Online-softmax attention over KV tiles.
 
     Grid: (BH, num_q_blocks). Each step holds one q tile (block_q, dh) in
-    VMEM and streams KV tiles of ``block_k`` rows, maintaining the running
+    VMEM and walks KV tiles of ``block_k`` rows, maintaining the running
     max m, normalizer l, and unnormalized accumulator acc — O(L) memory in
-    sequence length instead of the O(L^2) score matrix.
+    sequence length instead of the O(L^2) score matrix. Also emits the
+    per-row logsumexp (m + log l) used by the recompute backward.
+
+    The KV walk is a STATIC python loop (tile count is compile-time), so
+    every slice is static and Mosaic emits straight-line code — measured
+    4.5x faster than the fori_loop + dynamic-slice form (556us XLA /
+    789us fori / 177us unrolled at B2H4 L2048 on v5e). Causal masking is
+    by predicate only; the ~2x tile waste is cheaper than dynamic bounds.
     """
     q = q_ref[0] * scale  # (block_q, dh)
     block_q, dh = q.shape
     qi = pl.program_id(1)
-    num_kv = pl.cdiv(seq_len, block_k)
+    num_kv = k_ref.shape[1] // block_k
 
-    def body(ki, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :]  # (block_k, dh)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
+    m = jnp.full((block_q, 1), jnp.finfo(jnp.float32).min)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, dh), jnp.float32)
+    for ki in range(num_kv):
+        k = k_ref[0, ki * block_k:(ki + 1) * block_k, :]  # (block_k, dh)
+        v = v_ref[0, ki * block_k:(ki + 1) * block_k, :]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -162,50 +230,219 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         correction = jnp.exp(m - m_new)
-        l_new = correction * l + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = correction * acc + jnp.dot(
+        l = correction * l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = correction * acc + jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((block_q, 1), jnp.finfo(jnp.float32).min)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, dh), jnp.float32)
-
-    if causal:
-        # KV tiles strictly above the diagonal contribute nothing.
-        last = jnp.minimum(
-            num_kv, pl.cdiv((qi + 1) * block_q, block_k)
-        )
-    else:
-        last = num_kv
-    m, l, acc = jax.lax.fori_loop(0, last, body, (m0, l0, acc0))
+        m = m_new
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_attention_diffable(q, k, v, causal, block_q, block_k):
-    return _flash_attention_impl(q, k, v, causal=causal, block_q=block_q,
-                                 block_k=block_k)
+    out, _ = _flash_attention_impl(q, k, v, causal=causal, block_q=block_q,
+                                   block_k=block_k)
+    return out
 
 
 def _flash_attention_fwd(q, k, v, causal, block_q, block_k):
-    out = _flash_attention_impl(q, k, v, causal=causal, block_q=block_q,
-                                block_k=block_k)
-    return out, (q, k, v)
+    out, lse = _flash_attention_impl(q, k, v, causal=causal, block_q=block_q,
+                                     block_k=block_k)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_attention_bwd(causal, block_q, block_k, residuals, g):
-    q, k, v = residuals
-    l = q.shape[2]
-    mask = jnp.tril(jnp.ones((l, l), bool))[None, None] if causal else None
-    _, vjp = jax.vjp(
-        lambda q, k, v: xla_ref.attention(q, k, v, mask=mask), q, k, v
-    )
-    return vjp(g)
+    q, k, v, out, lse = residuals
+    return _flash_bwd_impl(q, k, v, out, lse, g, causal=causal,
+                           block_q=block_q, block_k=block_k)
 
 
 _flash_attention_diffable.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref, *,
+                     scale: float, block_k: int, seq_len: int, causal: bool):
+    """dq for one q tile: stream KV tiles, recompute p from q,k and the
+    saved logsumexp; ds = p * (dO v^T - D); dq += ds k * scale. O(L) memory
+    (FlashAttention backward, recompute form)."""
+    q = q_ref[0]                       # (block_q, dh)
+    do = do_ref[0]
+    lse = lse_ref[0]                   # (block_q, 1)
+    d = d_ref[0]                       # (block_q, 1)
+    block_q, dh = q.shape
+    qi = pl.program_id(1)
+    num_kv = k_ref.shape[1] // block_k
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+
+    # Static unrolled KV walk (see _flash_kernel); causal tiles above the
+    # diagonal are handled by the predicate, not dynamic bounds.
+    dq = jnp.zeros((block_q, dh), jnp.float32)
+    for ki in range(num_kv):
+        k = k_ref[0, ki * block_k:(ki + 1) * block_k, :]
+        v = v_ref[0, ki * block_k:(ki + 1) * block_k, :]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        k_pos = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        valid = k_pos < seq_len
+        if causal:
+            valid = jnp.logical_and(valid, q_pos >= k_pos)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - d)
+        dq = dq + jnp.dot(ds.astype(k.dtype), k,
+                          preferred_element_type=jnp.float32)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+                      dk_ref, dv_ref, *, scale: float, block_q: int,
+                      seq_len: int, causal: bool):
+    """dk/dv for one KV tile: stream q tiles; dv += p^T dO;
+    dk += (p * (dO v^T - D))^T q * scale."""
+    k = k_ref[0]                       # (block_k, dh)
+    v = v_ref[0]
+    block_k, dh = k.shape
+    ki = pl.program_id(1)
+    lp = q_ref.shape[1]
+    num_q = lp // block_q
+    k_pos = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+
+    # Static unrolled q walk (see _flash_kernel); the causal predicate
+    # zeroes tiles below this KV tile's diagonal.
+    dk = jnp.zeros((block_k, dh), jnp.float32)
+    dv = jnp.zeros((block_k, dh), jnp.float32)
+    for qi in range(num_q):
+        q = q_ref[0, qi * block_q:(qi + 1) * block_q, :]
+        do = do_ref[0, qi * block_q:(qi + 1) * block_q, :]
+        lse = lse_ref[0, qi * block_q:(qi + 1) * block_q, :]
+        d = d_ref[0, qi * block_q:(qi + 1) * block_q, :]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
+        valid = jnp.logical_and(q_pos < seq_len, k_pos < seq_len)
+        if causal:
+            valid = jnp.logical_and(valid, q_pos >= k_pos)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dv = dv + jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),  # p^T @ dO
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - d)
+        dk = dk + jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),  # ds^T @ q
+            preferred_element_type=jnp.float32,
+        )
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, out, lse, g, *, causal: bool, block_q: int,
+                    block_k: int):
+    """O(L)-memory flash backward: one dq kernel + one dkv kernel, both
+    recomputing p from the saved logsumexp (no (L, L) materialization)."""
+    b, h, l, dh = q.shape
+    block_q = min(block_q, max(8, l))
+    block_k = min(block_k, max(8, l))
+    pad = max((-l) % block_q, (-l) % block_k)
+    padding = [(0, 0), (0, 0), (0, pad), (0, 0)]
+    dpad = [(0, 0), (0, 0), (0, pad)]
+    # D = rowsum(dO * O): cheap elementwise+reduce, fused by XLA.
+    d = jnp.sum(g * out, axis=-1)
+    if pad:
+        q = jnp.pad(q, padding)
+        k = jnp.pad(k, padding)
+        v = jnp.pad(v, padding)
+        g = jnp.pad(g, padding)
+        lse = jnp.pad(lse, dpad)
+        d = jnp.pad(d, dpad)
+    lp = l + pad
+    bh = b * h
+    qf = q.reshape(bh, lp, dh)
+    kf = k.reshape(bh, lp, dh)
+    vf = v.reshape(bh, lp, dh)
+    gf = g.reshape(bh, lp, dh)
+    lsef = lse.reshape(bh, lp, 1)
+    df = d.reshape(bh, lp, 1)
+    scale = 1.0 / float(np.sqrt(dh))
+
+    row_specs = [
+        pl.BlockSpec((1, lp, dh), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def tile_spec(cols):
+        return pl.BlockSpec((1, block_q, cols), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, scale=scale, block_k=block_k,
+                          seq_len=l, causal=causal),
+        grid=(bh, lp // block_q),
+        in_specs=[
+            tile_spec(dh),        # q tile
+            row_specs[0],         # k rows
+            row_specs[0],         # v rows
+            tile_spec(dh),        # dO tile
+            tile_spec(1),         # lse tile
+            tile_spec(1),         # D tile
+        ],
+        out_specs=tile_spec(dh),
+        out_shape=jax.ShapeDtypeStruct((bh, lp, dh), q.dtype),
+        interpret=_interpret(),
+    )(qf, kf, vf, gf, lsef, df)
+
+    def ktile_spec(cols):
+        return pl.BlockSpec((1, block_k, cols), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkv_kernel, scale=scale, block_q=block_q,
+                          seq_len=l, causal=causal),
+        grid=(bh, lp // block_k),
+        in_specs=[
+            row_specs[0],         # q rows
+            ktile_spec(dh),       # k tile
+            ktile_spec(dh),       # v tile
+            row_specs[0],         # dO rows
+            pl.BlockSpec((1, lp, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # lse rows
+            pl.BlockSpec((1, lp, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # D rows
+        ],
+        out_specs=(ktile_spec(dh), ktile_spec(dh)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lp, dh), k.dtype),
+            jax.ShapeDtypeStruct((bh, lp, dh), v.dtype),
+        ),
+        interpret=_interpret(),
+    )(qf, kf, vf, gf, lsef, df)
+
+    def unflat(a):
+        return a.reshape(b, h, lp, dh)[:, :, :l, :]
+
+    return unflat(dq), unflat(dk), unflat(dv)
 
 
 def flash_attention(q, k, v, *, causal: bool = False, block_q: int = 128,
@@ -214,7 +451,9 @@ def flash_attention(q, k, v, *, causal: bool = False, block_q: int = 128,
 
     Parity contract: ops.xla_ref.attention with mask=None (or the causal
     triangle when causal=True). Pads L up to a block multiple internally.
-    Differentiable: custom VJP runs the XLA reference backward.
+    Differentiable: custom VJP runs Pallas recompute-form backward kernels
+    (dq + dk/dv) from the saved logsumexp — O(L) memory in training too,
+    no (L, L) materialization anywhere.
     """
     return _flash_attention_diffable(q, k, v, causal, block_q, block_k)
 
@@ -240,7 +479,7 @@ def _flash_attention_impl(q, k, v, *, causal: bool, block_q: int,
     kf = k.reshape(bh, lp, dh)
     vf = v.reshape(bh, lp, dh)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel,
             scale=1.0 / float(np.sqrt(dh)),
@@ -257,13 +496,21 @@ def _flash_attention_impl(q, k, v, *, causal: bool, block_q: int,
             pl.BlockSpec((1, lp, dh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, lp, dh), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, lp, dh), q.dtype),
+            jax.ShapeDtypeStruct((bh, lp, 1), jnp.float32),
+        ),
         interpret=_interpret(),
     )(qf, kf, vf)
-    out = out.reshape(b, h, lp, dh)
-    return out[:, :, :l, :]
+    out = out.reshape(b, h, lp, dh)[:, :, :l, :]
+    lse = lse.reshape(b, h, lp)[:, :, :l]
+    return out, lse
 
 
 # ---------------------------------------------------------------------------

@@ -10,6 +10,10 @@ Methodology (the hard-won part — see docs mfu-roofline post):
   cached results in ~20 us and time nothing.
 - Carry a data dependency through the scan so iterations serialize and XLA
   cannot hoist the op (the `* 1e-20` mix-in is not foldable: 0*inf rules).
+- Synchronize with a HOST READ of the scalar result (float(out)), not
+  block_until_ready: on this backend block_until_ready can return before
+  the computation has actually run (observed: 220-iteration grad scans
+  "completing" in 0.1 ms, then 160 ms with a forced host read).
 
 Usage: python tools/kernel_bench.py [resblock|attention] ...
 """
@@ -38,17 +42,17 @@ def scan_delta_us(make, x, L1: int = 20, L2: int = 220, reps: int = 7):
 
     def run_once(f):
         _SEED[0] += 1
-        return f(x, jnp.float32(_SEED[0]))
+        return float(f(x, jnp.float32(_SEED[0])))  # host read = real sync
 
-    run_once(f1).block_until_ready()
-    run_once(f2).block_until_ready()
+    run_once(f1)
+    run_once(f2)
     t1s, t2s = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        run_once(f1).block_until_ready()
+        run_once(f1)
         t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        run_once(f2).block_until_ready()
+        run_once(f2)
         t2s.append(time.perf_counter() - t0)
     t1 = sorted(t1s)[reps // 2]
     t2 = sorted(t2s)[reps // 2]
@@ -128,9 +132,36 @@ def bench_attention():
             )
 
 
+def bench_attention_grad():
+    """Forward+backward (sum-of-output loss) — exercises the Pallas
+    recompute backward kernels vs XLA autodiff."""
+    from tinydiffusionmodels_tpu.ops import pallas_kernels, xla_ref
+
+    key = jax.random.PRNGKey(0)
+    shapes = [(8, 4, 64, 64), (8, 4, 512, 64), (2, 4, 2048, 64)]
+    for b, h, l, dh in shapes:
+        q = jax.random.normal(jax.random.fold_in(key, 1), (b, h, l, dh))
+        gflop = 3 * 4 * b * h * l * l * dh / 1e9  # bwd ~ 2x fwd
+        impls = [
+            ("xla", lambda c: jax.grad(
+                lambda x: jnp.sum(xla_ref.attention(x, x, x)))(c)),
+            ("flash", lambda c: jax.grad(
+                lambda x: jnp.sum(pallas_kernels.flash_attention(x, x, x))
+            )(c)),
+        ]
+        for name, fn in impls:
+            us = scan_delta_us(_scanned(fn), q)
+            print(
+                f"attn-grad B{b} H{h} L{l:5d} Dh{dh} {name:6s}: "
+                f"{us:8.1f} us ({gflop / us * 1e3:6.1f} TFLOP/s)"
+            )
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("resblock", "all"):
         bench_resblock()
     if which in ("attention", "all"):
         bench_attention()
+    if which in ("grad", "all"):
+        bench_attention_grad()
