@@ -39,16 +39,38 @@ enable_compile_cache()
 configure_fast_rng()
 
 
-def _timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
-    """Median-of-3 trimmed timing of fn(*args); returns seconds per call."""
+def _sync(out) -> None:
+    """Force completion via a host read of one element.
+
+    block_until_ready is NOT a reliable sync on the remote TPU backend (it
+    can return before execution; see tools/kernel_bench.py), and repeated
+    identical executions are memoized by the terminal — so timed calls must
+    also vary their inputs.
+    """
+    first = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.ravel(first)[0])
+
+
+def _timeit(fn, key, warmup: int = 2, iters: int = 10) -> float:
+    """Median-of-3 timing of fn(fold_in(key, i)); seconds per call.
+
+    ``fn`` must take a PRNG key; every call gets a fresh fold so no two
+    executions share arguments (defeats result memoization).
+    """
+    n = [0]
+
+    def call():
+        n[0] += 1
+        return fn(jax.random.fold_in(key, n[0]))
+
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(call())
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
+            out = call()
+        _sync(out)
         times.append((time.perf_counter() - t0) / iters)
     return sorted(times)[1]
 
@@ -87,13 +109,13 @@ def bench_mnist_train(batch_size: int = 128, chunk: int = 200,
     )
 
     state, _ = step(state, batches, key)  # compile
-    state, _ = step(state, batches, key)  # warm
+    state, _ = step(state, batches, jax.random.fold_in(key, 1))  # warm
     rates = []
-    for _ in range(3):
+    for r in range(3):
         t0 = time.perf_counter()
-        for _ in range(2):
-            state, loss = step(state, batches, key)
-        jax.block_until_ready(loss)
+        for i in range(2):
+            state, loss = step(state, batches, jax.random.fold_in(key, 2 + 2 * r + i))
+        _sync(loss)
         rates.append(2 * chunk / (time.perf_counter() - t0))
     return sorted(rates)[1], flops
 
@@ -197,13 +219,13 @@ def bench_text_train(batch_size: int = 8, seq_len: int = 64,
     flops = perf.compiled_flops(single, state, tokens[0], w, k)
 
     state, _ = step(state, tokens, w, k)  # compile
-    state, _ = step(state, tokens, w, k)  # warm
+    state, _ = step(state, tokens, w, jax.random.fold_in(k, 1))  # warm
     rates = []
-    for _ in range(3):
+    for r in range(3):
         t0 = time.perf_counter()
-        for _ in range(2):
-            state, losses = step(state, tokens, w, k)
-        jax.block_until_ready(losses)
+        for i in range(2):
+            state, losses = step(state, tokens, w, jax.random.fold_in(k, 2 + 2 * r + i))
+        _sync(losses)
         rates.append(2 * chunk / (time.perf_counter() - t0))
     return sorted(rates)[1], flops
 
@@ -256,13 +278,12 @@ def bench_guided(n: int = 8, seq_len: int = 64) -> tuple[float, float | None]:
     cfg = TinyGPTConfig(vocab_size=4096, dim=256, n_heads=4, depth=4,
                         max_len=seq_len + 1)
     params = init_tiny_gpt(jax.random.PRNGKey(0), cfg)
-    diff_logits = jax.random.normal(
-        jax.random.PRNGKey(1), (n, seq_len, cfg.vocab_size)
-    )
     decode = lambda cache, tok: tiny_gpt_decode_step(params, cache, tok, cfg)
     fn = jax.jit(
-        lambda dl: guided_generate_scan(
-            decode, tiny_gpt_init_cache(cfg, n), dl, 0, alpha=0.3
+        lambda key: guided_generate_scan(
+            decode, tiny_gpt_init_cache(cfg, n),
+            jax.random.normal(key, (n, seq_len, cfg.vocab_size)),
+            0, alpha=0.3,
         )
     )
 
@@ -271,7 +292,7 @@ def bench_guided(n: int = 8, seq_len: int = 64) -> tuple[float, float | None]:
     step_flops = perf.compiled_flops(decode, cache0, tok0)
     flops_per_token = step_flops / n if step_flops else None
 
-    sec = _timeit(fn, diff_logits, warmup=1, iters=3)
+    sec = _timeit(fn, jax.random.PRNGKey(1), warmup=1, iters=3)
     return n * seq_len / sec, flops_per_token
 
 
