@@ -50,15 +50,38 @@ def get_job_status(job_id: str, *, project: str, region: str) -> dict | None:
         return None
 
 
-def get_job_logs(job_id: str, *, project: str, limit: int = 50) -> str | None:
-    """gcloud logging read filtered by job id (reference monitor.py:32-56)."""
+def get_job_logs(
+    job_id: str,
+    *,
+    project: str,
+    limit: int = 100,
+    create_time: str | None = None,
+    region: str | None = None,
+) -> str | None:
+    """gcloud logging read filtered by job id (reference monitor.py:32-56).
+
+    Reference fidelity: the query is scoped to entries at or after the job's
+    createTime (reference monitor.py:36-41) so stale/foreign entries from a
+    recycled job id can't leak in, the read is bounded by ``--freshness 7d``
+    (monitor.py:50), and structured container logs are surfaced via
+    ``jsonPayload.message`` alongside ``textPayload`` (monitor.py:48).
+    ``create_time`` is looked up from the job when not supplied.
+    """
+    if create_time is None and region is not None:
+        status = get_job_status(job_id, project=project, region=region)
+        if status is not None:
+            create_time = status.get("createTime", "")
+    query = f'resource.labels.job_id="{job_id}"'
+    if create_time:
+        query += f' timestamp>="{create_time}"'
     result = subprocess.run(
         [
             "gcloud", "logging", "read",
-            f'resource.labels.job_id="{job_id}"',
+            query,
             f"--project={project}",
             f"--limit={limit}",
-            "--format=value(timestamp,severity,textPayload)",
+            "--format=value(timestamp,severity,textPayload,jsonPayload.message)",
+            "--freshness=7d",
             "--order=desc",
         ],
         capture_output=True,
@@ -101,23 +124,31 @@ def main() -> None:
     parser.add_argument("job_id")
     parser.add_argument("--logs", action="store_true", help="show logs only")
     parser.add_argument("--full", action="store_true",
-                        help="show status and logs")
+                        help="dump the complete job JSON")
     parser.add_argument("--project", default=DEFAULT_PROJECT)
     parser.add_argument("--region", default=DEFAULT_REGION)
     args = parser.parse_args()
 
-    if not args.logs or args.full:
-        status = get_job_status(
+    if args.logs:
+        logs = get_job_logs(
             args.job_id, project=args.project, region=args.region
         )
-        if status is None:
-            sys.exit(1)
-        print(format_job_status(status))
-
-    if args.logs or args.full:
-        logs = get_job_logs(args.job_id, project=args.project)
         if logs is not None:
-            print(logs or "(no logs yet)")
+            print(logs.strip() or "(no logs yet)")
+        else:
+            sys.exit(1)
+        return
+
+    status = get_job_status(
+        args.job_id, project=args.project, region=args.region
+    )
+    if status is None:
+        sys.exit(1)
+    if args.full:
+        # Reference --full dumps the raw job JSON (monitor.py:107-111).
+        print(json.dumps(status, indent=2))
+    else:
+        print(format_job_status(status))
 
 
 if __name__ == "__main__":

@@ -98,3 +98,43 @@ class TestMonitor:
         assert out == "log line"
         cmd = mock_run.call_args[0][0]
         assert any('job_id="42"' in c for c in cmd)
+
+    def test_logs_scoped_by_create_time_and_freshness(self):
+        """Reference monitor.py:36-50: createTime timestamp filter, 7d
+        freshness bound, and jsonPayload.message in the value format."""
+        with patch(
+            "subprocess.run",
+            return_value=MagicMock(returncode=0, stdout="log line"),
+        ) as mock_run:
+            monitor.get_job_logs(
+                "42", project="p", create_time="2026-01-01T00:00:00Z"
+            )
+        cmd = mock_run.call_args[0][0]
+        query = cmd[3]
+        assert 'job_id="42"' in query
+        assert 'timestamp>="2026-01-01T00:00:00Z"' in query
+        assert "--freshness=7d" in cmd
+        fmt = next(c for c in cmd if c.startswith("--format"))
+        assert "jsonPayload.message" in fmt and "textPayload" in fmt
+
+    def test_logs_look_up_create_time_when_region_given(self):
+        payload = {"state": "JOB_STATE_RUNNING",
+                   "createTime": "2026-02-02T00:00:00Z"}
+        describe = MagicMock(returncode=0, stdout=json.dumps(payload))
+        read = MagicMock(returncode=0, stdout="line")
+        with patch("subprocess.run", side_effect=[describe, read]) as mock_run:
+            monitor.get_job_logs("7", project="p", region="r")
+        query = mock_run.call_args_list[1][0][0][3]
+        assert 'timestamp>="2026-02-02T00:00:00Z"' in query
+
+    def test_full_dumps_raw_job_json(self, capsys):
+        """Reference monitor.py:107-111: --full prints the whole job JSON."""
+        payload = {"state": "JOB_STATE_SUCCEEDED", "displayName": "job",
+                   "jobSpec": {"workerPoolSpecs": []}}
+        with patch(
+            "subprocess.run",
+            return_value=MagicMock(returncode=0, stdout=json.dumps(payload)),
+        ), patch.object(sys, "argv", ["monitor.py", "99", "--full"]):
+            monitor.main()
+        out = capsys.readouterr().out
+        assert json.loads(out) == payload
