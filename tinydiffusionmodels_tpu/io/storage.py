@@ -61,6 +61,24 @@ def upload_to_gcs(local_path: str, gcs_path: str) -> None:
     client.bucket(bucket_name).blob(blob_name).upload_from_filename(local_path)
 
 
+def _staged(suffix: str, action: str, fn):
+    """Run ``fn(tmp_path)`` against a staging tempfile for a gs:// transfer.
+
+    One helper for all three transfer shapes (checkpoint load/save, sample
+    write): any failure is wrapped in RuntimeError with the reference's
+    ``Failed to <action>: <err>`` message shape (src/utils.py:58-59,77-78)
+    and the staging file is always unlinked (src/utils.py:62-63,82-83).
+    """
+    tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+    tmp.close()
+    try:
+        return fn(tmp.name)
+    except Exception as e:
+        raise RuntimeError(f"Failed to {action}: {e}")
+    finally:
+        os.unlink(tmp.name)
+
+
 def load_checkpoint(ckpt_path: PathLike, device: str | None = None) -> Any:
     """Load a .pth checkpoint from local disk or GCS (src/utils.py:47-63).
 
@@ -68,40 +86,32 @@ def load_checkpoint(ckpt_path: PathLike, device: str | None = None) -> Any:
     parity; array placement is the caller's concern in JAX.
     """
     ckpt_path = str(ckpt_path)
-    if is_gcs_path(ckpt_path):
-        with tempfile.NamedTemporaryFile(suffix=".pth", delete=False) as tmp:
-            try:
-                print(f"Downloading checkpoint from GCS: {ckpt_path}")
-                download_from_gcs(ckpt_path, tmp.name)
-                return torch_load(tmp.name)
-            except Exception as e:
-                raise RuntimeError(
-                    f"Failed to download checkpoint from {ckpt_path}: {e}"
-                )
-            finally:
-                os.unlink(tmp.name)
-    return torch_load(ckpt_path)
+    if not is_gcs_path(ckpt_path):
+        return torch_load(ckpt_path)
+
+    def fetch(tmp_name):
+        print(f"Downloading checkpoint from GCS: {ckpt_path}")
+        download_from_gcs(ckpt_path, tmp_name)
+        return torch_load(tmp_name)
+
+    return _staged(".pth", f"download checkpoint from {ckpt_path}", fetch)
 
 
 def save_checkpoint(model_state: Any, ckpt_path: PathLike) -> None:
     """Save a checkpoint to local disk or GCS (src/utils.py:66-83)."""
     ckpt_path = str(ckpt_path)
-    if is_gcs_path(ckpt_path):
-        with tempfile.NamedTemporaryFile(suffix=".pth", delete=False) as tmp:
-            try:
-                torch_save(model_state, tmp.name)
-                print(f"Uploading checkpoint to GCS: {ckpt_path}")
-                upload_to_gcs(tmp.name, ckpt_path)
-                print(f"✔ Uploaded checkpoint to {ckpt_path}")
-            except Exception as e:
-                raise RuntimeError(
-                    f"Failed to upload checkpoint to {ckpt_path}: {e}"
-                )
-            finally:
-                os.unlink(tmp.name)
-    else:
+    if not is_gcs_path(ckpt_path):
         torch_save(model_state, ckpt_path)
         print(f"✔ Saved checkpoint to {ckpt_path}")
+        return
+
+    def push(tmp_name):
+        torch_save(model_state, tmp_name)
+        print(f"Uploading checkpoint to GCS: {ckpt_path}")
+        upload_to_gcs(tmp_name, ckpt_path)
+        print(f"✔ Uploaded checkpoint to {ckpt_path}")
+
+    _staged(".pth", f"upload checkpoint to {ckpt_path}", push)
 
 
 def save_samples(content: Union[str, bytes], sample_path: PathLike,
@@ -109,31 +119,23 @@ def save_samples(content: Union[str, bytes], sample_path: PathLike,
     """Write a text/binary sample artifact locally or to GCS
     (src/utils.py:86-117)."""
     sample_path = str(sample_path)
-    if is_gcs_path(sample_path):
-        suffix = Path(sample_path).suffix
-        with tempfile.NamedTemporaryFile(
-            mode=mode, suffix=suffix, delete=False
-        ) as tmp:
-            try:
-                tmp.write(content)
-                tmp.flush()
-                tmp.close()
-                print(f"Uploading sample to GCS: {sample_path}")
-                upload_to_gcs(tmp.name, sample_path)
-                print(f"✔ Uploaded sample to {sample_path}")
-            except Exception as e:
-                raise RuntimeError(
-                    f"Failed to upload sample to {sample_path}: {e}"
-                )
-            finally:
-                os.unlink(tmp.name)
-    else:
+    if not is_gcs_path(sample_path):
         Path(sample_path).parent.mkdir(parents=True, exist_ok=True)
         if isinstance(content, str):
             Path(sample_path).write_text(content)
         else:
             Path(sample_path).write_bytes(content)
         print(f"✔ Saved sample to {sample_path}")
+        return
+
+    def push(tmp_name):
+        with open(tmp_name, mode) as f:
+            f.write(content)
+        print(f"Uploading sample to GCS: {sample_path}")
+        upload_to_gcs(tmp_name, sample_path)
+        print(f"✔ Uploaded sample to {sample_path}")
+
+    _staged(Path(sample_path).suffix, f"upload sample to {sample_path}", push)
 
 
 def get_vertex_checkpoint_path(base_name: str) -> str:
