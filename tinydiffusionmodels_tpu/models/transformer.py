@@ -43,6 +43,10 @@ class TransformerConfig:
     dropout: float = 0.1
     ffn_dim: int = FFN_DIM
     timesteps: int = 1000
+    # Sequence-parallel: route attention through the ring over this mesh
+    # axis (ops.register_sequence_mesh must have registered it). None =
+    # single-chip attention (flash/XLA via the ops registry).
+    seq_axis: str | None = None
 
 
 def _init_layer(key: jax.Array, cfg: TransformerConfig) -> dict:
@@ -99,6 +103,7 @@ def _mha(
         heads(v),
         dropout_rate=0.0 if deterministic else cfg.dropout,
         dropout_key=None if deterministic else substream(key, "attn_weights"),
+        seq_axis=cfg.seq_axis,
     )
     out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
     return linear_apply(p["out_proj"], out)

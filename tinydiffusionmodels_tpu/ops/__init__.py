@@ -13,6 +13,7 @@ from tinydiffusionmodels_tpu.ops.registry import (
     conv2d,
     fused_resblock,
     get_backend,
+    register_sequence_mesh,
     set_backend,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "conv2d",
     "fused_resblock",
     "get_backend",
+    "register_sequence_mesh",
     "set_backend",
 ]

@@ -16,6 +16,7 @@ import os
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 
 from tinydiffusionmodels_tpu.ops import xla_ref
 
@@ -89,7 +90,45 @@ def fused_resblock(x, p, time_bias):
     return _dispatch("fused_resblock")(x, p, time_bias)
 
 
-def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0, dropout_key=None):
+# Sequence-parallel routing: when a model is configured with a sequence
+# axis (TransformerConfig.seq_axis), ops.attention dispatches to ring
+# attention over the mesh registered for that axis (SURVEY §5.7: ring is a
+# kernel swap behind the op interface, not a model change). Registration is
+# persistent module state so jit retraces resolve identically.
+_SEQ_MESHES: dict[str, Any] = {}
+
+
+def register_sequence_mesh(mesh, axis: str = "seq") -> None:
+    """Register ``mesh`` as the ring for sequence axis ``axis``."""
+    _SEQ_MESHES[axis] = mesh
+
+
+def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
+              dropout_key=None, seq_axis: str | None = None,
+              causal: bool = False):
+    if seq_axis is not None:
+        mesh = _SEQ_MESHES.get(seq_axis)
+        if mesh is None:
+            raise ValueError(
+                f"seq_axis={seq_axis!r} routed to ring attention but no mesh "
+                "is registered; call ops.register_sequence_mesh(mesh, axis)"
+            )
+        if mask is not None:
+            raise NotImplementedError(
+                "ring attention supports causal=True or unmasked; arbitrary "
+                "masks stay on the single-chip path"
+            )
+        from tinydiffusionmodels_tpu.parallel.ring_attention import (
+            ring_attention,
+        )
+
+        return ring_attention(
+            q, k, v, mesh, axis=seq_axis, causal=causal,
+            dropout_rate=dropout_rate, dropout_key=dropout_key,
+        )
+    if causal and mask is None:
+        l = q.shape[-2]
+        mask = jnp.tril(jnp.ones((l, l), dtype=bool))
     return _dispatch("attention")(
         q, k, v, mask=mask, dropout_rate=dropout_rate, dropout_key=dropout_key
     )

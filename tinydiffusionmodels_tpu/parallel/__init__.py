@@ -16,6 +16,10 @@ from tinydiffusionmodels_tpu.parallel.mesh import (
     replicate_tree,
 )
 from tinydiffusionmodels_tpu.parallel.tp import transformer_tp_rules, apply_rules
+from tinydiffusionmodels_tpu.parallel.ring_attention import (
+    ring_attention,
+    ring_attention_shard,
+)
 
 __all__ = [
     "make_mesh",
@@ -26,4 +30,6 @@ __all__ = [
     "replicate_tree",
     "transformer_tp_rules",
     "apply_rules",
+    "ring_attention",
+    "ring_attention_shard",
 ]

@@ -59,12 +59,24 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data"):
     )
 
 
-def shard_stacked_batch(mesh: Mesh, batch, axis: str = "data"):
+def shard_stacked_batch(
+    mesh: Mesh, batch, axis: str = "data", seq_axis: str | None = None
+):
     """Device-put arrays shaped (K, B, ...) with dim 1 (batch) sharded —
-    the layout consumed by the scan-of-steps train functions."""
+    the layout consumed by the scan-of-steps train functions.
+
+    ``seq_axis``: additionally shard dim 2 (the sequence dim of (K, B, L)
+    token stacks) on that mesh axis — the layout for ring-attention
+    sequence-parallel training. Axes absent from the mesh are skipped, so
+    the same call works on a pure ('seq',) mesh (batch replicated).
+    """
     def put(x):
-        spec = P(None, axis, *([None] * (np.ndim(x) - 2)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        names = [None] * np.ndim(x)
+        if axis in mesh.shape:
+            names[1] = axis
+        if seq_axis is not None and seq_axis in mesh.shape and np.ndim(x) >= 3:
+            names[2] = seq_axis
+        return jax.device_put(x, NamedSharding(mesh, P(*names)))
 
     return jax.tree_util.tree_map(put, batch)
 

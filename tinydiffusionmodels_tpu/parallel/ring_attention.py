@@ -8,10 +8,24 @@ as every KV shard passes through. After axis_size steps each query has
 attended to the full sequence without any device ever materializing it.
 
 This is the distributed upgrade path SURVEY §5.7 reserved behind the
-attention op interface (single-chip flash kernel: ops/pallas_kernels.py).
-Bidirectional (the denoiser's attention is unmasked); per-block compute uses
-XLA einsums so the same code runs on the CPU test mesh, and the inner block
-computation can later swap to the Pallas flash kernel unchanged.
+attention op interface (single-chip flash kernel: ops/pallas_kernels.py),
+covering the reference's full O(L²) ``nn.TransformerEncoder`` attention
+(/root/reference/src/shakespeare.py:108-111) at sequence lengths one chip
+cannot hold.
+
+Two entry points:
+
+- ``ring_attention_shard``: the per-shard SPMD function, callable inside an
+  existing ``shard_map`` (this is what ``ops.attention`` routes to when a
+  sequence mesh is registered — see ops/registry.py).
+- ``ring_attention``: a convenience ``shard_map`` wrapper. It is a pure
+  function of its operands — callable under ``jit`` on already-sharded
+  arrays; it never places data itself.
+
+Supports causal masking (each query attends to global positions <= its own,
+block provenance tracked via ``lax.axis_index``) and attention-weight
+dropout (per (q-block, kv-block) PRNG folding; the normalizer uses the
+undropped weights, matching torch's dropout-after-softmax semantics).
 
 Numerics are asserted against single-device full attention in
 tests/test_ring_attention.py on the 8-device virtual mesh.
@@ -19,27 +33,146 @@ tests/test_ring_attention.py on the 8-device virtual mesh.
 
 from __future__ import annotations
 
-import functools
+import math
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _block_attend(q, k_blk, v_blk, scale, m, l, acc):
-    """Online-softmax merge of one KV block into (m, l, acc)."""
+def _block_attend(q, k_blk, v_blk, scale, m, l, acc, *, mask=None,
+                  dropout_rate=0.0, dropout_key=None):
+    """Online-softmax merge of one KV block into (m, l, acc).
+
+    ``mask``: optional (Lq, Lk) boolean, True = keep. Handles fully-masked
+    blocks: m may stay -inf, in which case the block contributes nothing.
+    """
     s = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k_blk, preferred_element_type=jnp.float32
     ) * scale
+    if mask is not None:
+        s = jnp.where(mask, s, -jnp.inf)
     m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    corr = jnp.exp(m - m_new)
+    # Guard rows with no unmasked key yet: exp(-inf - (-inf)) would be NaN.
+    safe_m = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+    p = jnp.exp(s - safe_m)
+    corr = jnp.exp(m - safe_m)
     l_new = corr * l + jnp.sum(p, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        # Normalizer l uses undropped p (torch drops *after* softmax);
+        # only the value accumulation sees the dropped/rescaled weights.
+        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, p.shape)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     acc_new = corr * acc + jnp.einsum(
         "bhqk,bhkd->bhqd", p.astype(v_blk.dtype), v_blk,
         preferred_element_type=jnp.float32,
     )
     return m_new, l_new, acc_new
+
+
+def ring_attention_shard(
+    q_loc: jax.Array,
+    k_loc: jax.Array,
+    v_loc: jax.Array,
+    *,
+    axis: str,
+    causal: bool = False,
+    bidirectional: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: jax.Array | None = None,
+) -> jax.Array:
+    """Per-shard ring attention; call inside shard_map/pmap over ``axis``.
+
+    q_loc, k_loc, v_loc: (B, H, L_shard, Dh) — this device's sequence shard.
+    Rotates KV around the ring; returns this device's (B, H, L_shard, Dh)
+    output. ``causal=True`` masks by *global* position (shard offset from
+    ``lax.axis_index``). ``bidirectional=True`` rotates the two KV halves in
+    opposite directions so both ICI link directions carry traffic.
+    """
+    if dropout_rate > 0.0 and dropout_key is None:
+        raise ValueError("dropout_rate > 0 requires dropout_key")
+    n = jax.lax.psum(1, axis)
+    r = jax.lax.axis_index(axis)
+    l_shard = k_loc.shape[2]
+    scale = 1.0 / math.sqrt(q_loc.shape[-1])  # static (shape), jit-safe
+    perm_fwd = [(i, (i + 1) % n) for i in range(n)]
+    perm_bwd = [(i, (i - 1) % n) for i in range(n)]
+
+    q_pos = r * l_shard + jnp.arange(q_loc.shape[2])  # global query rows
+
+    def block_mask(src, width):
+        """(Lq, width) causal mask for a KV block owned by device ``src``."""
+        if not causal:
+            return None
+        kv_pos = src * l_shard + jnp.arange(width)
+        return q_pos[:, None] >= kv_pos[None, :]
+
+    def block_key(src, half):
+        """Independent dropout stream per (q-block, kv-block, ring half)."""
+        if dropout_rate <= 0.0:
+            return None
+        return jax.random.fold_in(dropout_key, (r * n + src) * 2 + half)
+
+    m = jnp.full((*q_loc.shape[:-1], 1), -jnp.inf, jnp.float32)
+    l_acc = jnp.zeros((*q_loc.shape[:-1], 1), jnp.float32)
+    acc = jnp.zeros(q_loc.shape, jnp.float32)
+
+    if bidirectional:
+        if l_shard % 2:
+            raise ValueError("bidirectional ring needs an even per-device shard")
+        half = l_shard // 2
+        ka, kb = k_loc[:, :, :half], k_loc[:, :, half:]
+        va, vb = v_loc[:, :, :half], v_loc[:, :, half:]
+
+        def step(i, carry):
+            m, l_acc, acc, ka, va, kb, vb = carry
+            src_a = (r - i) % n       # forward ring: block from r-i
+            src_b = (r + i) % n       # backward ring: block from r+i
+            # First half of src_a's shard; second half of src_b's shard
+            # (global offset src_b*l_shard + half).
+            mask_a = block_mask(src_a, half)
+            m, l_acc, acc = _block_attend(
+                q_loc, ka, va, scale, m, l_acc, acc, mask=mask_a,
+                dropout_rate=dropout_rate, dropout_key=block_key(src_a, 0),
+            )
+            if causal:
+                kv_pos_b = src_b * l_shard + half + jnp.arange(half)
+                mask_b = q_pos[:, None] >= kv_pos_b[None, :]
+            else:
+                mask_b = None
+            m, l_acc, acc = _block_attend(
+                q_loc, kb, vb, scale, m, l_acc, acc, mask=mask_b,
+                dropout_rate=dropout_rate, dropout_key=block_key(src_b, 1),
+            )
+            ka = jax.lax.ppermute(ka, axis, perm_fwd)
+            va = jax.lax.ppermute(va, axis, perm_fwd)
+            kb = jax.lax.ppermute(kb, axis, perm_bwd)
+            vb = jax.lax.ppermute(vb, axis, perm_bwd)
+            return m, l_acc, acc, ka, va, kb, vb
+
+        m, l_acc, acc, *_ = jax.lax.fori_loop(
+            0, n, step, (m, l_acc, acc, ka, va, kb, vb)
+        )
+        return (acc / l_acc).astype(q_loc.dtype)
+
+    def step(i, carry):
+        m, l_acc, acc, k_blk, v_blk = carry
+        src = (r - i) % n  # forward rotation: at step i we hold block r-i
+        m, l_acc, acc = _block_attend(
+            q_loc, k_blk, v_blk, scale, m, l_acc, acc,
+            mask=block_mask(src, l_shard),
+            dropout_rate=dropout_rate, dropout_key=block_key(src, 0),
+        )
+        # Rotate KV to the next device over ICI; the last rotation's
+        # result is unused but keeps the loop shape static.
+        k_blk = jax.lax.ppermute(k_blk, axis, perm_fwd)
+        v_blk = jax.lax.ppermute(v_blk, axis, perm_fwd)
+        return m, l_acc, acc, k_blk, v_blk
+
+    m, l_acc, acc, _, _ = jax.lax.fori_loop(
+        0, n, step, (m, l_acc, acc, k_loc, v_loc)
+    )
+    return (acc / l_acc).astype(q_loc.dtype)
 
 
 def ring_attention(
@@ -49,83 +182,40 @@ def ring_attention(
     mesh: Mesh,
     *,
     axis: str = "data",
+    causal: bool = False,
     bidirectional: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: jax.Array | None = None,
 ) -> jax.Array:
-    """Full (unmasked) attention with q/k/v sequence-sharded on ``axis``.
+    """Attention with q/k/v sequence-sharded on mesh ``axis``.
 
     q, k, v: (B, H, L, Dh) global arrays; L must divide by the axis size.
-    Returns the (B, H, L, Dh) result with the same sharding.
-
-    ``bidirectional=True`` splits each device's KV shard in half and rotates
-    the halves in opposite directions simultaneously — same step count, half
-    the bytes per direction per step, so both ICI link directions carry
-    traffic instead of one idling (the bi-directional ring pattern from the
-    Pallas guide, expressed at the XLA-collective level).
+    Pure function of its operands — composes under ``jit``; callers place
+    data (P(None, None, axis, None) sequence sharding). Returns the
+    (B, H, L, Dh) result with the same sharding.
     """
-    b, h, l, dh = q.shape
+    l = q.shape[2]
     n = mesh.shape[axis]
     if l % n:
         raise ValueError(f"sequence {l} not divisible by ring size {n}")
-    if bidirectional and (l // n) % 2:
-        raise ValueError("bidirectional ring needs an even per-device shard")
-    import math
 
-    scale = 1.0 / math.sqrt(dh)  # dh is static (shape), jit-safe
-    perm_fwd = [(i, (i + 1) % n) for i in range(n)]
-    perm_bwd = [(i, (i - 1) % n) for i in range(n)]
-
-    def local(q_loc, k_loc, v_loc):
-        m = jnp.full((*q_loc.shape[:-1], 1), jnp.finfo(jnp.float32).min)
-        l_acc = jnp.zeros((*q_loc.shape[:-1], 1), jnp.float32)
-        acc = jnp.zeros(q_loc.shape, jnp.float32)
-
-        if bidirectional:
-            half = k_loc.shape[2] // 2
-            ka, kb = k_loc[:, :, :half], k_loc[:, :, half:]
-            va, vb = v_loc[:, :, :half], v_loc[:, :, half:]
-
-            def step(i, carry):
-                m, l_acc, acc, ka, va, kb, vb = carry
-                m, l_acc, acc = _block_attend(q_loc, ka, va, scale,
-                                              m, l_acc, acc)
-                m, l_acc, acc = _block_attend(q_loc, kb, vb, scale,
-                                              m, l_acc, acc)
-                ka = jax.lax.ppermute(ka, axis, perm_fwd)
-                va = jax.lax.ppermute(va, axis, perm_fwd)
-                kb = jax.lax.ppermute(kb, axis, perm_bwd)
-                vb = jax.lax.ppermute(vb, axis, perm_bwd)
-                return m, l_acc, acc, ka, va, kb, vb
-
-            m, l_acc, acc, *_ = jax.lax.fori_loop(
-                0, n, step, (m, l_acc, acc, ka, va, kb, vb)
-            )
-            return (acc / l_acc).astype(q_loc.dtype)
-
-        def step(i, carry):
-            m, l_acc, acc, k_blk, v_blk = carry
-            m, l_acc, acc = _block_attend(q_loc, k_blk, v_blk, scale,
-                                          m, l_acc, acc)
-            # Rotate KV to the next device over ICI; the last rotation's
-            # result is unused but keeps the loop shape static.
-            k_blk = jax.lax.ppermute(k_blk, axis, perm_fwd)
-            v_blk = jax.lax.ppermute(v_blk, axis, perm_fwd)
-            return m, l_acc, acc, k_blk, v_blk
-
-        m, l_acc, acc, _, _ = jax.lax.fori_loop(
-            0, n, step, (m, l_acc, acc, k_loc, v_loc)
+    def local(q_loc, k_loc, v_loc, key_loc):
+        return ring_attention_shard(
+            q_loc, k_loc, v_loc, axis=axis, causal=causal,
+            bidirectional=bidirectional, dropout_rate=dropout_rate,
+            dropout_key=key_loc,
         )
-        return (acc / l_acc).astype(q_loc.dtype)
 
     spec = P(None, None, axis, None)
+    key_in = dropout_key
+    if key_in is None:
+        # shard_map needs a concrete operand; pass a dummy key (unused).
+        key_in = jax.random.PRNGKey(0)
     sharded = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, P()),
         out_specs=spec,
         check_vma=False,
     )
-    shard = NamedSharding(mesh, spec)
-    return sharded(
-        jax.device_put(q, shard), jax.device_put(k, shard),
-        jax.device_put(v, shard),
-    )
+    return sharded(q, k, v, key_in)

@@ -306,6 +306,12 @@ def train(
 
     if mesh is None:
         mesh = make_mesh()
+    if cfg.seq_axis is not None:
+        # Sequence-parallel (ring attention): register the mesh for the
+        # config's sequence axis and shard the token sequence dim on it.
+        from tinydiffusionmodels_tpu import ops
+
+        ops.register_sequence_mesh(mesh, cfg.seq_axis)
     if pretrained_matrix is not None:
         pretrained_matrix = jnp.asarray(pretrained_matrix)
     state = replicate_tree(mesh, TrainState.create(joint_params, tx))
@@ -380,7 +386,7 @@ def train(
 
         def flush(state, sums, pending):
             stacked = shard_stacked_batch(
-                mesh, jnp.asarray(np.stack(pending))
+                mesh, jnp.asarray(np.stack(pending)), seq_axis=cfg.seq_axis
             )
             state, batch_sums = train_multi(state, stacked, w_arr, train_key)
             return state, sums + batch_sums
@@ -411,7 +417,7 @@ def train(
         vn = len(val_batches)
         if vn:
             stacked = shard_stacked_batch(
-                mesh, jnp.asarray(np.stack(val_batches))
+                mesh, jnp.asarray(np.stack(val_batches)), seq_axis=cfg.seq_axis
             )
             vkey = jax.random.fold_in(substream(key, "val"), epoch)
             vsums = eval_multi(state.params, stacked, w_arr, vkey)
