@@ -42,10 +42,15 @@ def initialize(coordinator_address: str | None = None,
     env_pid = os.environ.get("JAX_PROCESS_ID")
     if coordinator_address is None and env_np is None:
         return  # single process, nothing to do
+    # `is None` checks, not `or`: process_id 0 is a valid (falsy) id.
+    if num_processes is None and env_np is not None:
+        num_processes = int(env_np)
+    if process_id is None and env_pid is not None:
+        process_id = int(env_pid)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes or (int(env_np) if env_np else None),
-        process_id=process_id or (int(env_pid) if env_pid else None),
+        num_processes=num_processes,
+        process_id=process_id,
     )
 
 
