@@ -38,6 +38,13 @@ from tinydiffusionmodels_tpu.runtime import configure_fast_rng, enable_compile_c
 enable_compile_cache()
 configure_fast_rng()
 
+# MNIST reference anchor (BASELINE.md "Measured MNIST anchor"): the actual
+# reference stack measured on torch CPU by tools/ref_anchor.py, scaled to a
+# T4 estimate by the published-T4/measured-CPU factor of the Shakespeare
+# workload (conservative: high end of the 8.4-11.2x range).
+MNIST_REF_T4_TRAIN_IT_S = 8.8       # est. reference T4 train it/s, bs=128
+MNIST_REF_T4_SAMPLES_S = 2.56       # est. reference T4 1000-step samples/s
+
 
 def _sync(out) -> None:
     """Force completion via a host read of one element.
@@ -358,6 +365,13 @@ def main() -> None:
                     "mnist_train_it_s_bs128": round(r["mnist_train_it_s"], 2),
                     "mnist_sample_samples_s_1000step_bs256": round(
                         r["mnist_sample_samples_s"], 2
+                    ),
+                    # vs the measured-anchor T4 estimates (BASELINE.md):
+                    "mnist_train_vs_ref_t4_est": round(
+                        r["mnist_train_it_s"] / MNIST_REF_T4_TRAIN_IT_S, 1
+                    ),
+                    "mnist_sample_vs_ref_t4_est": round(
+                        r["mnist_sample_samples_s"] / MNIST_REF_T4_SAMPLES_S, 1
                     ),
                     "shakespeare_sample_steps_s_bs8": round(
                         r["shakespeare_sample_steps_s"], 2
