@@ -18,12 +18,34 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 from pathlib import Path
 from typing import Any, Union
 
 from tinydiffusionmodels_tpu.io.torch_pickle import torch_load, torch_save
 
 PathLike = Union[str, Path]
+
+
+def _with_retries(fn, what: str):
+    """Run a GCS transfer with exponential-backoff retries.
+
+    The reference has no retry handling (SURVEY §5.3: failures surface as a
+    single wrapped RuntimeError); transient GCS/network errors on preemptible
+    TPU jobs shouldn't kill an hours-long run over one flaky upload.
+    ``TDM_GCS_RETRIES`` (default 3) attempts, 0.5s * 2^k backoff.
+    """
+    attempts = max(1, int(os.environ.get("TDM_GCS_RETRIES", "3")))
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            if k == attempts - 1:
+                raise
+            delay = 0.5 * (2 ** k)
+            print(f"[storage] {what} failed ({e}); retry {k + 1}/"
+                  f"{attempts - 1} in {delay:.1f}s")
+            time.sleep(delay)
 
 
 def is_gcs_path(path: PathLike) -> bool:
@@ -50,15 +72,27 @@ def _gcs_client():
 def download_from_gcs(gcs_path: str, local_path: str) -> None:
     """Download a GCS object to a local file (src/utils.py:27-33)."""
     bucket_name, blob_name = parse_gcs_path(gcs_path)
-    client = _gcs_client()
-    client.bucket(bucket_name).blob(blob_name).download_to_filename(local_path)
+
+    def transfer():
+        client = _gcs_client()
+        client.bucket(bucket_name).blob(blob_name).download_to_filename(
+            local_path
+        )
+
+    _with_retries(transfer, f"download {gcs_path}")
 
 
 def upload_to_gcs(local_path: str, gcs_path: str) -> None:
     """Upload a local file to GCS (src/utils.py:36-42)."""
     bucket_name, blob_name = parse_gcs_path(gcs_path)
-    client = _gcs_client()
-    client.bucket(bucket_name).blob(blob_name).upload_from_filename(local_path)
+
+    def transfer():
+        client = _gcs_client()
+        client.bucket(bucket_name).blob(blob_name).upload_from_filename(
+            local_path
+        )
+
+    _with_retries(transfer, f"upload {gcs_path}")
 
 
 def _staged(suffix: str, action: str, fn):
@@ -101,7 +135,12 @@ def save_checkpoint(model_state: Any, ckpt_path: PathLike) -> None:
     """Save a checkpoint to local disk or GCS (src/utils.py:66-83)."""
     ckpt_path = str(ckpt_path)
     if not is_gcs_path(ckpt_path):
-        torch_save(model_state, ckpt_path)
+        # Atomic local write: stage + os.replace, so a preemption (SIGKILL)
+        # mid-save can never leave a truncated checkpoint behind for
+        # --resume to choke on (SURVEY §5.3 / tests/test_fault_injection.py).
+        tmp_path = f"{ckpt_path}.tmp"
+        torch_save(model_state, tmp_path)
+        os.replace(tmp_path, ckpt_path)
         print(f"✔ Saved checkpoint to {ckpt_path}")
         return
 

@@ -78,10 +78,12 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from tinydiffusionmodels_tpu.runtime import (
         configure_fast_rng,
+        configure_platform,
         enable_compile_cache,
         profile_trace,
     )
 
+    configure_platform()
     enable_compile_cache()
     configure_fast_rng()
     from tinydiffusionmodels_tpu.train import mnist_train

@@ -12,6 +12,25 @@ import os
 import time
 
 
+def configure_platform() -> None:
+    """Honor TDM_PLATFORM (e.g. 'cpu') before JAX backend init.
+
+    The JAX_PLATFORMS env var alone does not beat an auto-registering TPU
+    plugin on this machine (CLAUDE.md environment notes); the in-process
+    config update does. Lets CLI subprocesses (tests, smoke runs) run on CPU
+    on a TPU-attached host. No-op once a backend is initialized.
+    """
+    platform = os.environ.get("TDM_PLATFORM")
+    if not platform:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", platform)
+    except Exception:  # pragma: no cover - backend already initialized
+        pass
+
+
 def enable_compile_cache(path: str | None = None) -> None:
     if os.environ.get("TDM_COMPILE_CACHE", "1") == "0":
         return

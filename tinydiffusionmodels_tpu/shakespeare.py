@@ -161,10 +161,12 @@ def main(argv=None) -> None:
 
     from tinydiffusionmodels_tpu.runtime import (
         configure_fast_rng,
+        configure_platform,
         enable_compile_cache,
         profile_trace,
     )
 
+    configure_platform()
     enable_compile_cache()
     configure_fast_rng()
     _prof = contextlib.ExitStack()
