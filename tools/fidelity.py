@@ -87,7 +87,7 @@ def inception_score(probs: np.ndarray) -> float:
 
 def evaluate_checkpoint(ckpt_path: str, *, n: int = 256, method: str = "ancestral",
                         num_steps: int | None = None, seed: int = 0,
-                        data_root: str = "./data") -> dict:
+                        data_root: str = "./data", compute_dtype=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +106,17 @@ def evaluate_checkpoint(ckpt_path: str, *, n: int = 256, method: str = "ancestra
 
     params = unet_from_state_dict(load_checkpoint(ckpt_path))
     sched = make_schedule()
-    denoise = lambda x, t: unet_apply(params, x, t, timesteps=sched.timesteps)
+    if compute_dtype is not None:
+        # bf16 denoiser forward, f32 sampler update math (matches bench.py's
+        # bench_mnist_sample bf16 path).
+        from tinydiffusionmodels_tpu.train.precision import cast_floating
+
+        params_c = cast_floating(params, compute_dtype)
+        denoise = lambda x, t: unet_apply(
+            params_c, x.astype(compute_dtype), t, timesteps=sched.timesteps
+        ).astype(jnp.float32)
+    else:
+        denoise = lambda x, t: unet_apply(params, x, t, timesteps=sched.timesteps)
     samples = jax.jit(
         lambda k: sample_loop(
             denoise, sched, (n, 28, 28, 1), k, method=method,
@@ -137,11 +147,18 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_root", type=str, default="./data")
+    parser.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     args = parser.parse_args()
+    compute_dtype = None
+    if args.dtype == "bf16":
+        import jax.numpy as jnp
+
+        compute_dtype = jnp.bfloat16
     result = evaluate_checkpoint(
         args.ckpt, n=args.n, method=args.sampler, num_steps=args.steps,
-        seed=args.seed, data_root=args.data_root,
+        seed=args.seed, data_root=args.data_root, compute_dtype=compute_dtype,
     )
+    result["dtype"] = args.dtype
     print(json.dumps(result))
 
 
