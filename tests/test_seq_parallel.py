@@ -66,6 +66,32 @@ class TestCausalRing:
             np.asarray(fn(qs, ks, vs)), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
 
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("bidirectional", [False, True])
+    def test_kv_chunking_matches_unchunked(self, eight_devices, causal,
+                                           bidirectional):
+        """kv_chunk bounds the score buffer to (B,H,Lq,chunk) per ring step
+        (the flash memory property) without changing the math."""
+        mesh = make_mesh()
+        l = 128  # 16 keys per device -> chunk 4 gives 4 sub-blocks
+        q, k, v = _qkv(jax.random.PRNGKey(6), (1, 2, l, 16))
+        full = ring_attention(
+            q, k, v, mesh, causal=causal, bidirectional=bidirectional
+        )
+        chunked = ring_attention(
+            q, k, v, mesh, causal=causal, bidirectional=bidirectional,
+            kv_chunk=4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(full), rtol=2e-5, atol=2e-5
+        )
+
+    def test_kv_chunk_must_divide(self, eight_devices):
+        mesh = make_mesh()
+        q = jnp.zeros((1, 1, 128, 16))
+        with pytest.raises(ValueError, match="divide"):
+            ring_attention(q, q, q, mesh, kv_chunk=5)
+
     def test_dropout_runs_and_differs(self, eight_devices):
         mesh = make_mesh()
         q, k, v = _qkv(jax.random.PRNGKey(2), (1, 2, 64, 16))

@@ -23,12 +23,17 @@ Two entry points:
   arrays; it never places data itself.
 
 Supports causal masking (each query attends to global positions <= its own,
-block provenance tracked via ``lax.axis_index``) and attention-weight
-dropout (per (q-block, kv-block) PRNG folding; the normalizer uses the
-undropped weights, matching torch's dropout-after-softmax semantics).
+block provenance tracked via ``lax.axis_index``), attention-weight dropout
+(per (q-block, kv-block) PRNG folding; the normalizer uses the undropped
+weights, matching torch's dropout-after-softmax semantics), and
+``kv_chunk``: blockwise sub-chunking of each incoming KV shard, so the
+materialized score block is (B, H, L_shard, kv_chunk) instead of
+(B, H, L_shard, L_shard) — the flash-attention memory property expressed at
+the XLA level, orthogonal to the ring itself.
 
 Numerics are asserted against single-device full attention in
-tests/test_ring_attention.py on the 8-device virtual mesh.
+tests/test_ring_attention.py + tests/test_seq_parallel.py on the 8-device
+virtual mesh.
 """
 
 from __future__ import annotations
@@ -80,6 +85,7 @@ def ring_attention_shard(
     bidirectional: bool = False,
     dropout_rate: float = 0.0,
     dropout_key: jax.Array | None = None,
+    kv_chunk: int | None = None,
 ) -> jax.Array:
     """Per-shard ring attention; call inside shard_map/pmap over ``axis``.
 
@@ -88,6 +94,9 @@ def ring_attention_shard(
     output. ``causal=True`` masks by *global* position (shard offset from
     ``lax.axis_index``). ``bidirectional=True`` rotates the two KV halves in
     opposite directions so both ICI link directions carry traffic.
+    ``kv_chunk``: process each incoming KV shard in sub-chunks of this many
+    keys (must divide the shard), bounding the score buffer to
+    (B, H, L_shard, kv_chunk).
     """
     if dropout_rate > 0.0 and dropout_key is None:
         raise ValueError("dropout_rate > 0 requires dropout_key")
@@ -100,18 +109,45 @@ def ring_attention_shard(
 
     q_pos = r * l_shard + jnp.arange(q_loc.shape[2])  # global query rows
 
-    def block_mask(src, width):
-        """(Lq, width) causal mask for a KV block owned by device ``src``."""
-        if not causal:
-            return None
-        kv_pos = src * l_shard + jnp.arange(width)
-        return q_pos[:, None] >= kv_pos[None, :]
+    def attend(carry, k_blk, v_blk, global_offset, stream):
+        """Merge one KV block into carry, optionally in kv_chunk pieces.
 
-    def block_key(src, half):
-        """Independent dropout stream per (q-block, kv-block, ring half)."""
-        if dropout_rate <= 0.0:
-            return None
-        return jax.random.fold_in(dropout_key, (r * n + src) * 2 + half)
+        ``global_offset``: traced global position of the block's first key
+        (for causal masking). ``stream``: static int distinguishing the
+        forward/backward ring halves for dropout PRNG folding.
+        """
+        width = k_blk.shape[2]
+        chunk = width if kv_chunk is None else kv_chunk
+        if width % chunk:
+            raise ValueError(f"kv_chunk {chunk} must divide shard {width}")
+
+        def key_for(c):
+            if dropout_rate <= 0.0:
+                return None
+            # Distinct stream per (q-block, kv global offset, sub-chunk):
+            # global_offset already encodes (src, half).
+            sub = jax.random.fold_in(dropout_key, r)
+            sub = jax.random.fold_in(sub, global_offset + c * chunk)
+            return jax.random.fold_in(sub, stream)
+
+        def one(c, carry):
+            m, l_acc, acc = carry
+            ks = jax.lax.dynamic_slice_in_dim(k_blk, c * chunk, chunk, 2)
+            vs = jax.lax.dynamic_slice_in_dim(v_blk, c * chunk, chunk, 2)
+            if causal:
+                kv_pos = global_offset + c * chunk + jnp.arange(chunk)
+                mask = q_pos[:, None] >= kv_pos[None, :]
+            else:
+                mask = None
+            return _block_attend(
+                q_loc, ks, vs, scale, m, l_acc, acc, mask=mask,
+                dropout_rate=dropout_rate, dropout_key=key_for(c),
+            )
+
+        n_chunks = width // chunk
+        if n_chunks == 1:
+            return one(0, carry)
+        return jax.lax.fori_loop(0, n_chunks, one, carry)
 
     m = jnp.full((*q_loc.shape[:-1], 1), -jnp.inf, jnp.float32)
     l_acc = jnp.zeros((*q_loc.shape[:-1], 1), jnp.float32)
@@ -130,19 +166,11 @@ def ring_attention_shard(
             src_b = (r + i) % n       # backward ring: block from r+i
             # First half of src_a's shard; second half of src_b's shard
             # (global offset src_b*l_shard + half).
-            mask_a = block_mask(src_a, half)
-            m, l_acc, acc = _block_attend(
-                q_loc, ka, va, scale, m, l_acc, acc, mask=mask_a,
-                dropout_rate=dropout_rate, dropout_key=block_key(src_a, 0),
+            m, l_acc, acc = attend(
+                (m, l_acc, acc), ka, va, src_a * l_shard, 0
             )
-            if causal:
-                kv_pos_b = src_b * l_shard + half + jnp.arange(half)
-                mask_b = q_pos[:, None] >= kv_pos_b[None, :]
-            else:
-                mask_b = None
-            m, l_acc, acc = _block_attend(
-                q_loc, kb, vb, scale, m, l_acc, acc, mask=mask_b,
-                dropout_rate=dropout_rate, dropout_key=block_key(src_b, 1),
+            m, l_acc, acc = attend(
+                (m, l_acc, acc), kb, vb, src_b * l_shard + half, 1
             )
             ka = jax.lax.ppermute(ka, axis, perm_fwd)
             va = jax.lax.ppermute(va, axis, perm_fwd)
@@ -158,11 +186,8 @@ def ring_attention_shard(
     def step(i, carry):
         m, l_acc, acc, k_blk, v_blk = carry
         src = (r - i) % n  # forward rotation: at step i we hold block r-i
-        m, l_acc, acc = _block_attend(
-            q_loc, k_blk, v_blk, scale, m, l_acc, acc,
-            mask=block_mask(src, l_shard),
-            dropout_rate=dropout_rate, dropout_key=block_key(src, 0),
-        )
+        m, l_acc, acc = attend((m, l_acc, acc), k_blk, v_blk,
+                               src * l_shard, 0)
         # Rotate KV to the next device over ICI; the last rotation's
         # result is unused but keeps the loop shape static.
         k_blk = jax.lax.ppermute(k_blk, axis, perm_fwd)
@@ -186,6 +211,7 @@ def ring_attention(
     bidirectional: bool = False,
     dropout_rate: float = 0.0,
     dropout_key: jax.Array | None = None,
+    kv_chunk: int | None = None,
 ) -> jax.Array:
     """Attention with q/k/v sequence-sharded on mesh ``axis``.
 
@@ -203,7 +229,7 @@ def ring_attention(
         return ring_attention_shard(
             q_loc, k_loc, v_loc, axis=axis, causal=causal,
             bidirectional=bidirectional, dropout_rate=dropout_rate,
-            dropout_key=key_loc,
+            dropout_key=key_loc, kv_chunk=kv_chunk,
         )
 
     spec = P(None, None, axis, None)
