@@ -58,11 +58,13 @@ def _sync(out) -> None:
     float(jnp.ravel(first)[0])
 
 
-def _timeit(fn, key, warmup: int = 2, iters: int = 10) -> float:
-    """Median-of-3 timing of fn(fold_in(key, i)); seconds per call.
+def _timeit(fn, key, warmup: int = 2, iters: int = 10,
+            windows: int = 5) -> float:
+    """Median-of-``windows`` timing of fn(fold_in(key, i)); seconds/call.
 
     ``fn`` must take a PRNG key; every call gets a fresh fold so no two
-    executions share arguments (defeats result memoization).
+    executions share arguments (defeats result memoization). Five windows
+    (vs 3) because the remote-tunnel TPU shows ~5% run-to-run drift.
     """
     n = [0]
 
@@ -73,13 +75,13 @@ def _timeit(fn, key, warmup: int = 2, iters: int = 10) -> float:
     for _ in range(warmup):
         _sync(call())
     times = []
-    for _ in range(3):
+    for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = call()
         _sync(out)
         times.append((time.perf_counter() - t0) / iters)
-    return sorted(times)[1]
+    return sorted(times)[len(times) // 2]
 
 
 def _mnist_setup():
@@ -118,13 +120,13 @@ def bench_mnist_train(batch_size: int = 128, chunk: int = 200,
     state, _ = step(state, batches, key)  # compile
     state, _ = step(state, batches, jax.random.fold_in(key, 1))  # warm
     rates = []
-    for r in range(3):
+    for r in range(5):
         t0 = time.perf_counter()
         for i in range(2):
             state, loss = step(state, batches, jax.random.fold_in(key, 2 + 2 * r + i))
         _sync(loss)
         rates.append(2 * chunk / (time.perf_counter() - t0))
-    return sorted(rates)[1], flops
+    return sorted(rates)[2], flops
 
 
 def bench_mnist_sample(n_samples: int = 256, quick: bool = False,
@@ -228,13 +230,13 @@ def bench_text_train(batch_size: int = 8, seq_len: int = 64,
     state, _ = step(state, tokens, w, k)  # compile
     state, _ = step(state, tokens, w, jax.random.fold_in(k, 1))  # warm
     rates = []
-    for r in range(3):
+    for r in range(5):
         t0 = time.perf_counter()
         for i in range(2):
             state, losses = step(state, tokens, w, jax.random.fold_in(k, 2 + 2 * r + i))
         _sync(losses)
         rates.append(2 * chunk / (time.perf_counter() - t0))
-    return sorted(rates)[1], flops
+    return sorted(rates)[2], flops
 
 
 def bench_text_sample(n: int = 8, seq_len: int = 64, dim: int = 256,
