@@ -55,7 +55,9 @@ def sample_loop(
             x = p_sample(sched, x, t_b, eps, jax.random.fold_in(loop_key, t))
             return x, None
 
-        x, _ = jax.lax.scan(step, x0, ts)
+        # unroll=2: +5% on the latency-bound small-denoiser (text) sampler,
+        # neutral on the compute-bound UNet sampler (measured on v5e).
+        x, _ = jax.lax.scan(step, x0, ts, unroll=2)
         return x
 
     if method == "dpm++":
@@ -93,7 +95,8 @@ def sample_loop(
             return (x_next, x0, h), None
 
         (x, _, _), _ = jax.lax.scan(
-            dstep, (x0, jnp.zeros_like(x0), jnp.zeros(())), jnp.arange(n)
+            dstep, (x0, jnp.zeros_like(x0), jnp.zeros(())), jnp.arange(n),
+            unroll=2,
         )
         return x
 
@@ -116,7 +119,7 @@ def sample_loop(
             )
             return x, None
 
-        x, _ = jax.lax.scan(dstep, x0, (ts, ts_prev))
+        x, _ = jax.lax.scan(dstep, x0, (ts, ts_prev), unroll=2)
         return x
 
     raise ValueError(f"unknown sampling method: {method!r}")

@@ -117,7 +117,9 @@ def make_train_step_multi(sched: DiffusionSchedule, tx, n_inner: int = 0,
             params = optax.apply_updates(state.params, updates)
             return TrainState(params, opt_state, state.step + 1), loss
 
-        state, losses = jax.lax.scan(body, state, batches)
+        # unroll=2 pipelines step k's optimizer update against step k+1's
+        # forward (see text_train.make_text_train_step_multi).
+        state, losses = jax.lax.scan(body, state, batches, unroll=2)
         return state, jnp.mean(losses)
 
     return train_step_multi

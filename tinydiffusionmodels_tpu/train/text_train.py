@@ -180,7 +180,10 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
                 jnp.stack([diff, round_, total]),
             )
 
-        state, losses = jax.lax.scan(body, state, token_batches)
+        # unroll=2: two optimizer steps per scan body lets XLA software-
+        # pipeline step k's optimizer update with step k+1's forward;
+        # measured +11% on v5e at the reference config (2067 -> 2302 it/s).
+        state, losses = jax.lax.scan(body, state, token_batches, unroll=2)
         return state, jnp.sum(losses, axis=0)
 
     return train_step_multi
