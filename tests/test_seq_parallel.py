@@ -145,6 +145,17 @@ class TestOpsRouting:
         with pytest.raises(NotImplementedError):
             ops.attention(q, q, q, mask=mask, seq_axis="data")
 
+    def test_ring_kv_chunk_env_knob(self, eight_devices, monkeypatch):
+        mesh = make_mesh()
+        ops.register_sequence_mesh(mesh, "data")
+        monkeypatch.setenv("TDM_RING_KV_CHUNK", "4")
+        q, k, v = _qkv(jax.random.PRNGKey(8), (1, 2, 64, 16))
+        out = ops.attention(q, k, v, seq_axis="data")
+        ref = xla_ref.attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
     def test_transformer_forward_equivalent(self, eight_devices):
         """Same params, same input: seq-parallel transformer == single-chip
         transformer (deterministic)."""
