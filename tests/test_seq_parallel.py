@@ -86,6 +86,25 @@ class TestCausalRing:
             np.asarray(chunked), np.asarray(full), rtol=2e-5, atol=2e-5
         )
 
+    def test_kv_chunk_gradients_match(self, eight_devices):
+        """The chunked online-softmax (fori over sub-blocks) is
+        differentiable and grad-identical to the unchunked ring."""
+        mesh = make_mesh()
+        q, k, v = _qkv(jax.random.PRNGKey(7), (1, 2, 64, 16))
+
+        def loss(qkv, kv_chunk):
+            out = ring_attention(
+                *qkv, mesh, causal=True, kv_chunk=kv_chunk
+            )
+            return jnp.sum(out * out)
+
+        g_full = jax.grad(lambda t: loss(t, None))((q, k, v))
+        g_chunk = jax.grad(lambda t: loss(t, 4))((q, k, v))
+        for a, b in zip(g_chunk, g_full):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6
+            )
+
     def test_kv_chunk_must_divide(self, eight_devices):
         mesh = make_mesh()
         q = jnp.zeros((1, 1, 128, 16))
