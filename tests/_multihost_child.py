@@ -56,7 +56,47 @@ def main() -> None:
     loss = float(jax.jit(lambda x: jnp.mean(x * x))(gx))
     expected = float(np.mean(data * data))
     assert abs(loss - expected) < 1e-4, (loss, expected)
-    print(f"OK {pid} loss={loss:.6f}", flush=True)
+
+    # A REAL data-parallel train step across the two processes: same mesh,
+    # replicated params, globally-assembled image batch; the loss and the
+    # updated parameters must equal the single-process run bit-for-bit
+    # (same PRNG key, GSPMD psum over Gloo is deterministic here).
+    from tinydiffusionmodels_tpu.core import make_schedule
+    from tinydiffusionmodels_tpu.models import init_unet
+    from tinydiffusionmodels_tpu.parallel import replicate_tree
+    from tinydiffusionmodels_tpu.train.mnist_train import make_train_step
+    from tinydiffusionmodels_tpu.train.optim import adamw
+    from tinydiffusionmodels_tpu.train.state import TrainState
+
+    sched = make_schedule(10)
+    tx = adamw(1e-3)
+    params = init_unet(jax.random.PRNGKey(0))
+    step = make_train_step(sched, tx)
+
+    rng = np.random.default_rng(7)
+    images = rng.standard_normal((8, 28, 28, 1)).astype(np.float32)
+
+    # Single-process oracle on this host's devices (replicated math).
+    state1 = TrainState.create(jax.tree_util.tree_map(jnp.copy, params), tx)
+    state1, loss1 = step(state1, jnp.asarray(images), jax.random.PRNGKey(1))
+
+    state2 = replicate_tree(
+        mesh, TrainState.create(jax.tree_util.tree_map(jnp.copy, params), tx)
+    )
+    sl2 = multihost.process_batch_slice(8)
+    gbatch = multihost.make_global_batch(mesh, images[sl2])
+    state2, loss2 = step(state2, gbatch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(loss2), float(loss1), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state2.params)),
+        jax.tree_util.tree_leaves(jax.device_get(state1.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    print(f"OK {pid} loss={loss:.6f} dp_loss={float(loss2):.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,23 @@ class TestRegistry:
         with pytest.raises(ValueError):
             registry.set_backend("cuda")
 
+    def test_causal_flag_builds_tril_mask(self):
+        """ops.attention(causal=True) == explicit tril mask on the
+        single-chip path."""
+        import jax.numpy as jnp
+
+        from tinydiffusionmodels_tpu import ops
+        from tinydiffusionmodels_tpu.ops import xla_ref
+
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (2, 2, 16, 8))
+        mask = jnp.tril(jnp.ones((16, 16), dtype=bool))
+        np.testing.assert_allclose(
+            np.asarray(ops.attention(q, q, q, causal=True)),
+            np.asarray(xla_ref.attention(q, q, q, mask=mask)),
+            rtol=1e-6, atol=1e-6,
+        )
+
 
 def _attn_tol():
     """Compiled Mosaic uses VPU transcendental approximations (exp in the
