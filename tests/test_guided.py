@@ -41,6 +41,45 @@ class TestMixLogits:
             np.asarray(mix_logits(ar, diff, 1.0)), np.asarray(diff)
         )
 
+    def test_normalized_mix_bounds_influence(self):
+        """normalize=True is a linear opinion pool: shift-invariant, and an
+        arbitrarily over-confident diffusion head can contribute at most
+        alpha of probability mass — unlike the raw reference mix, where a
+        100x-larger diffusion head hijacks the argmax at any alpha."""
+        import jax
+
+        ar = jnp.array([[2.0, 1.0, 0.0]])
+        diff = jnp.array([[0.0, 1.0, 2.0]])
+        base = mix_logits(ar, diff, 0.3, normalize=True)
+        shifted = mix_logits(ar + 7.0, diff - 3.0, 0.3, normalize=True)
+        np.testing.assert_allclose(
+            np.asarray(jax.nn.softmax(base)),
+            np.asarray(jax.nn.softmax(shifted)), rtol=1e-6,
+        )
+        # Over-confident diffusion head (effectively one-hot on token 2).
+        big_diff = 100.0 * diff
+        raw = mix_logits(ar, big_diff, 0.1)
+        norm = mix_logits(ar, big_diff, 0.1, normalize=True)
+        assert int(jnp.argmax(raw)) == 2      # hijacked at alpha=0.1
+        assert int(jnp.argmax(norm)) == 0     # bounded: AR's 0.9*0.67 wins
+        # At alpha high enough, the pool follows the diffusion head.
+        norm_hi = mix_logits(ar, big_diff, 0.9, normalize=True)
+        assert int(jnp.argmax(norm_hi)) == 2
+
+    def test_normalized_alpha_extremes(self):
+        import jax
+
+        ar = jnp.array([[1.0, 0.0, -1.0]])
+        diff = jnp.array([[-5.0, 9.0, 2.0]])
+        np.testing.assert_allclose(
+            np.asarray(jax.nn.softmax(mix_logits(ar, diff, 0.0, normalize=True))),
+            np.asarray(jax.nn.softmax(ar)), rtol=1e-5, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(jax.nn.softmax(mix_logits(ar, diff, 1.0, normalize=True))),
+            np.asarray(jax.nn.softmax(diff)), rtol=1e-5, atol=1e-7,
+        )
+
 
 class TestGuidedScan:
     cfg = TinyGPTConfig(vocab_size=40, dim=32, n_heads=4, depth=2, max_len=16)

@@ -196,12 +196,17 @@ def guided_sample_text(
     use_learned_rounding: bool = True,
     alpha: float = 0.3,
     temperature: float = 1.0,
+    normalize: bool = False,
     outdir: str = "samples",
     save: bool = True,
     log_fn=print,
 ) -> list[str]:
     """Guided generation end-to-end (reference src/shakespeare.py:429-470,
-    590-603): diffusion logits from z, KV-cached greedy scan, decode, save."""
+    590-603): diffusion logits from z, KV-cached greedy scan, decode, save.
+
+    ``normalize=True`` mixes log-probabilities instead of raw logits (see
+    sample.guided.mix_logits) — a framework extension; default is exact
+    reference behavior."""
     diff_logits = diffusion_position_logits(
         z,
         rounding_params=rounding_params,
@@ -211,7 +216,7 @@ def guided_sample_text(
     bos = tokenizer.bos_token_id or tokenizer.eos_token_id or 0
     tokens = guided_generate_scan(
         decode_step, init_cache, diff_logits, bos,
-        alpha=alpha, temperature=temperature,
+        alpha=alpha, temperature=temperature, normalize=normalize,
     )
     texts = tokenizer.batch_decode(np.asarray(tokens), skip_special_tokens=True)
 

@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--temperature", type=float, default=1.0,
                         help="guided-sampling logit temperature (the "
                              "reference hardcodes 1.0)")
+    parser.add_argument("--guidance_norm", action="store_true",
+                        help="mix log-probabilities instead of raw logits in "
+                             "guided sampling (framework extension; default "
+                             "is exact reference mixing — see "
+                             "sample.guided.mix_logits)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace to this directory")
     parser.add_argument("--metrics_path", type=str, default=None,
@@ -406,6 +411,7 @@ def main(argv=None) -> None:
                     use_learned_rounding=not use_cosine_fallback,
                     alpha=args.alpha,
                     temperature=args.temperature,
+                    normalize=args.guidance_norm,
                 )
             else:
                 diff_logits = diffusion_position_logits(
@@ -482,6 +488,7 @@ def main(argv=None) -> None:
                 use_learned_rounding=not use_cosine_fallback,
                 alpha=args.alpha,
                 temperature=args.temperature,
+                normalize=args.guidance_norm,
             )
 
     _prof.close()

@@ -92,6 +92,8 @@ def main() -> None:
     ap.add_argument("--seq_len", type=int, default=64)
     ap.add_argument("--mode", choices=["pure", "guided"], default="pure")
     ap.add_argument("--alpha", type=float, default=0.3)
+    ap.add_argument("--guidance_norm", action="store_true",
+                    help="log-prob mixing (sample.guided.mix_logits)")
     ap.add_argument("--clamp", action="store_true")
     ap.add_argument("--sampler", type=str, default="ancestral")
     ap.add_argument("--steps", type=int, default=None)
@@ -188,7 +190,8 @@ def main() -> None:
             tiny_gpt_init_cache(lm_cfg_g, args.n),
             z, tokenizer,
             rounding_params=rounding_params, embed_matrix=embed_matrix,
-            use_learned_rounding=True, alpha=args.alpha, save=False,
+            use_learned_rounding=True, alpha=args.alpha,
+            normalize=args.guidance_norm, save=False,
             log_fn=lambda *_: None,
         )
 
@@ -211,6 +214,7 @@ def main() -> None:
 
     result = {
         "mode": args.mode,
+        "guidance_norm": bool(args.guidance_norm),
         "n_samples": len(texts),
         "lm_perplexity": round(lm_perplexity(lm_params, lm_cfg, token_seqs), 3),
         "corpus_perplexity": round(
