@@ -34,6 +34,9 @@ JOB_TYPES = (
     "shakespeare-sampling",
     "mnist-training",
     "mnist-sampling",
+    # Framework extension: sequence-parallel long-context training
+    # (ring attention over the v5e-8 ICI).
+    "shakespeare-training-sp",
 )
 
 

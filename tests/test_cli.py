@@ -95,6 +95,17 @@ class TestShakespeareCli:
         assert (workdir / "samples" / "guided_sample_0.txt").exists()
         assert (workdir / "lm_ckpt.pth").exists()
 
+    def test_train_seq_parallel(self, workdir, eight_devices):
+        """--seq_parallel trains with the sequence dim sharded over the
+        8-device mesh (ring attention) end-to-end through the real CLI."""
+        shakespeare_cli.main(
+            ["--train", "--epochs", "1", "--use_learned_embeddings",
+             "--seq_parallel", "--warmup_steps", "2",
+             "--model_id", "char", "--seq_len", "16", "--embed_dim", "32",
+             "--batch_size", "8", "--ckpt", "sp_ckpt.pth"]
+        )
+        assert (workdir / "sp_ckpt.pth").exists()
+
     def test_legacy_bare_checkpoint(self, workdir, capsys):
         """Old single-model checkpoint format: load must warn and fall back
         to cosine decoding (reference src/shakespeare.py:556-562)."""

@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--temperature", type=float, default=1.0,
                         help="guided-sampling logit temperature (the "
                              "reference hardcodes 1.0)")
+    parser.add_argument("--seq_parallel", action="store_true",
+                        help="sequence-parallel training: shard the token "
+                             "sequence over all devices and route attention "
+                             "through the ring (parallel/ring_attention)")
     parser.add_argument("--guidance_norm", action="store_true",
                         help="mix log-probabilities instead of raw logits in "
                              "guided sampling (framework extension; default "
@@ -242,9 +246,25 @@ def main(argv=None) -> None:
         embedding_params = None
         print(f"Using pre-trained embeddings (dim={embed_dim})")
 
+    train_mesh = None
+    seq_axis = None
+    if args.seq_parallel:
+        # Shard the sequence dim over every device; the train loop registers
+        # this mesh for the ring-attention route (text_train.train).
+        from tinydiffusionmodels_tpu.parallel import make_mesh
+
+        train_mesh = make_mesh({"seq": -1})
+        seq_axis = "seq"
+        if args.seq_len % train_mesh.shape["seq"]:
+            raise SystemExit(
+                f"--seq_parallel needs seq_len divisible by "
+                f"{train_mesh.shape['seq']} devices"
+            )
+        print(f"[parallel] sequence-parallel over {train_mesh.shape['seq']} "
+              "devices (ring attention)")
     cfg = TransformerConfig(
         dim=embed_dim, n_heads=4, depth=3, dropout=args.dropout,
-        timesteps=sched.timesteps,
+        timesteps=sched.timesteps, seq_axis=seq_axis,
     )
     diff_params = init_tiny_transformer(substream(key, "diffusion"), cfg)
     rounding_params = init_learned_rounding(
@@ -271,7 +291,7 @@ def main(argv=None) -> None:
             joint["embedding_fn"] = embedding_params
         final = text_train.train(
             joint, train_chunks, val_chunks,
-            cfg=cfg, sched=sched,
+            cfg=cfg, sched=sched, mesh=train_mesh,
             ckpt_path=args.ckpt, epochs=args.epochs,
             batch_size=args.batch_size, lr=args.lr,
             weight_decay=args.weight_decay,
