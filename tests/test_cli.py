@@ -98,13 +98,26 @@ class TestShakespeareCli:
     def test_train_seq_parallel(self, workdir, eight_devices):
         """--seq_parallel trains with the sequence dim sharded over the
         8-device mesh (ring attention) end-to-end through the real CLI."""
+        common = ["--use_learned_embeddings", "--seq_parallel",
+                  "--model_id", "char", "--seq_len", "16",
+                  "--embed_dim", "32", "--ckpt", "sp_ckpt.pth"]
         shakespeare_cli.main(
-            ["--train", "--epochs", "1", "--use_learned_embeddings",
-             "--seq_parallel", "--warmup_steps", "2",
-             "--model_id", "char", "--seq_len", "16", "--embed_dim", "32",
-             "--batch_size", "8", "--ckpt", "sp_ckpt.pth"]
+            ["--train", "--epochs", "1", "--warmup_steps", "2",
+             "--batch_size", "8", *common]
         )
         assert (workdir / "sp_ckpt.pth").exists()
+
+        # Sampling a seq-parallel checkpoint WITHOUT --train in the same
+        # process must work: the CLI registers the sequence mesh itself
+        # (regression: it used to be registered only inside train()).
+        from tinydiffusionmodels_tpu.ops import registry
+
+        registry._SEQ_MESHES.clear()
+        shakespeare_cli.main(
+            ["--sample", "--sampler", "ddim", "--steps", "4", "--n", "2",
+             *common]
+        )
+        assert (workdir / "samples" / "sample_0.txt").exists()
 
     def test_legacy_bare_checkpoint(self, workdir, capsys):
         """Old single-model checkpoint format: load must warn and fall back

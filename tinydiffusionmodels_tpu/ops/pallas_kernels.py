@@ -127,7 +127,15 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref,
 
 @jax.custom_vjp
 def _attention_diffable(q, k, v):
-    """Pallas forward + Pallas recompute backward (single VMEM block)."""
+    """Pallas forward + Pallas recompute backward (single VMEM block).
+
+    Intentionally retained as the minimal readable kernel pair even though
+    the production ``attention()`` dispatch below never selects it (measured
+    routing picks XLA under the 96 MB score threshold and the tiled flash
+    kernel above it, same policy as the fused resblock being kept as the
+    reference fused formulation). Exercised by tests/test_ops.py and
+    tools/kernel_bench.py so its numerics stay honest.
+    """
     return _attention_fwd_kernel_call(q, k, v)
 
 

@@ -26,9 +26,12 @@ _override: str | None = None
 # tools/kernel_bench.py — scan-length-delta timing with per-call input
 # variation; naive timings are dominated by ~25 ms fixed remote-dispatch
 # cost and defeated by the terminal's result memoization):
-# - attention (B8/H4/L64/Dh64): pallas flash 5.1us vs xla 7.9us -> pallas
-#   (flash for all unmasked lengths; L>=512 unmasked is faster in xla but
-#   the O(L^2) score buffer caps length, so flash keeps the long-seq path).
+# - attention -> 'pallas', whose own dispatch is itself measured
+#   (pallas_kernels.attention): XLA's fused attention wins while the
+#   (L, L) score buffers stay on-chip (L=64 ~1us, B8/L512 24us vs flash
+#   87us) and is used below a 96 MB score-footprint threshold; above it
+#   (B8/L1024: XLA 571us vs flash ~190us) the Pallas flash kernel runs,
+#   and it is the only O(L)-memory path for long sequences.
 # - fused_resblock: xla WINS at every production shape — e.g. 64->64@14x14
 #   B128: xla 19.9us = 186 TFLOP/s = 94% of v5e bf16 peak, vs pallas
 #   123.8us. XLA's conv emitter is at the MXU/HBM roofline for these tiny

@@ -249,12 +249,16 @@ def main(argv=None) -> None:
     train_mesh = None
     seq_axis = None
     if args.seq_parallel:
-        # Shard the sequence dim over every device; the train loop registers
-        # this mesh for the ring-attention route (text_train.train).
+        # Shard the sequence dim over every device. Register the mesh HERE,
+        # not only in the train loop, so --sample/--guided_sample on a
+        # seq-parallel-trained checkpoint work without --train in the same
+        # process (ops.attention looks the mesh up at trace time).
+        from tinydiffusionmodels_tpu import ops
         from tinydiffusionmodels_tpu.parallel import make_mesh
 
         train_mesh = make_mesh({"seq": -1})
         seq_axis = "seq"
+        ops.register_sequence_mesh(train_mesh, seq_axis)
         if args.seq_len % train_mesh.shape["seq"]:
             raise SystemExit(
                 f"--seq_parallel needs seq_len divisible by "

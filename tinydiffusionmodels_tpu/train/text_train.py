@@ -314,6 +314,12 @@ def train(
         # config's sequence axis and shard the token sequence dim on it.
         from tinydiffusionmodels_tpu import ops
 
+        if cfg.seq_axis not in mesh.shape:
+            raise ValueError(
+                f"cfg.seq_axis={cfg.seq_axis!r} is not an axis of the "
+                f"training mesh {dict(mesh.shape)}; build the mesh with "
+                f"that axis (e.g. make_mesh({{{cfg.seq_axis!r}: -1}}))"
+            )
         ops.register_sequence_mesh(mesh, cfg.seq_axis)
     if pretrained_matrix is not None:
         pretrained_matrix = jnp.asarray(pretrained_matrix)

@@ -64,11 +64,17 @@ def lm_perplexity(lm_params, lm_cfg, token_seqs: list[np.ndarray]) -> float:
     from tinydiffusionmodels_tpu.models.ar_lm import tiny_gpt_apply
 
     @jax.jit
-    def nll(ids):
+    def nll(ids, n_real):
+        # Fixed (max_len,) input so the jit compiles once; the mean masks
+        # out the padded tail (positions >= n_real-1 predict padding).
         logits = tiny_gpt_apply(lm_params, ids[None, :-1], lm_cfg)[0]
         logp = jax.nn.log_softmax(logits, axis=-1)
         tgt = ids[1:]
-        return -jnp.mean(jnp.take_along_axis(logp, tgt[:, None], axis=-1))
+        tok_nll = -jnp.take_along_axis(logp, tgt[:, None], axis=-1)[:, 0]
+        valid = jnp.arange(tok_nll.shape[0]) < (n_real - 1)
+        return jnp.sum(jnp.where(valid, tok_nll, 0.0)) / jnp.maximum(
+            jnp.sum(valid), 1
+        )
 
     max_len = lm_cfg.max_len
     nlls = []
@@ -76,11 +82,11 @@ def lm_perplexity(lm_params, lm_cfg, token_seqs: list[np.ndarray]) -> float:
         seq = np.asarray(seq[:max_len], dtype=np.int32)
         if len(seq) < 2:
             continue
-        # Pad to a fixed length so the jit doesn't retrace per sample.
         padded = np.zeros((max_len,), dtype=np.int32)
         padded[: len(seq)] = seq
-        logits_nll = float(nll(jnp.asarray(padded[: len(seq)])))
-        nlls.append(logits_nll)
+        # n_real as an array, not a Python int — ints are baked into the
+        # trace and would retrace per distinct length.
+        nlls.append(float(nll(jnp.asarray(padded), jnp.asarray(len(seq)))))
     return float(np.exp(np.mean(nlls))) if nlls else float("nan")
 
 
