@@ -301,7 +301,10 @@ def bench_guided(n: int = 8, seq_len: int = 64) -> tuple[float, float | None]:
     step_flops = perf.compiled_flops(decode, cache0, tok0)
     flops_per_token = step_flops / n if step_flops else None
 
-    sec = _timeit(fn, jax.random.PRNGKey(1), warmup=1, iters=3)
+    # Small-batch decode is a ~17 ms call — the most tunnel-jitter-
+    # sensitive metric in the suite (observed 23k-43k tok/s across runs);
+    # more iterations per window tighten the median.
+    sec = _timeit(fn, jax.random.PRNGKey(1), warmup=2, iters=8)
     return n * seq_len / sec, flops_per_token
 
 
