@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip the per-epoch sample grid during training",
     )
     parser.add_argument(
+        "--ema_decay", type=float, default=None,
+        help="maintain an EMA of the weights (e.g. 0.999) and sample/"
+             "checkpoint from it (framework extension; DDPM standard)",
+    )
+    parser.add_argument(
         "--resume", action="store_true",
         help="checkpoint full train state each epoch and resume if present",
     )
@@ -101,6 +106,7 @@ def main(argv=None) -> None:
                 resume_every=args.resume_every,
                 metrics_path=args.metrics_path,
                 compute_dtype=_dtype(args.dtype),
+                ema_decay=args.ema_decay,
             )
         if args.sample:
             mnist_train.sample(
