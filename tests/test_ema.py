@@ -139,3 +139,49 @@ class TestEmaTrainLoop:
         assert np.isfinite(leaf).all()
         saved_state = load_checkpoint(str(tmp_path / "ema_state.pth"))
         assert "ema" in saved_state
+
+
+class TestTextEma:
+    def test_text_train_with_ema(self, tmp_path, monkeypatch, eight_devices):
+        """Joint text training with EMA: best/final checkpoints hold the EMA
+        weights and the resume state carries an 'ema' dict."""
+        import numpy as np
+
+        from tinydiffusionmodels_tpu.io import load_checkpoint
+        from tinydiffusionmodels_tpu.models import (
+            init_learned_embedding,
+            init_learned_rounding,
+            init_tiny_transformer,
+        )
+        from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
+        from tinydiffusionmodels_tpu.train import text_train
+
+        monkeypatch.setenv("TDM_SCAN_CHUNK", "2")
+        sched = make_schedule(10)
+        cfg = TransformerConfig(dim=16, n_heads=2, depth=1, ffn_dim=32,
+                                timesteps=sched.timesteps)
+        key = jax.random.PRNGKey(0)
+        joint = {
+            "diffusion_model": init_tiny_transformer(key, cfg),
+            "rounding_fn": init_learned_rounding(
+                jax.random.fold_in(key, 1), 16, 11
+            ),
+            "embedding_fn": init_learned_embedding(
+                jax.random.fold_in(key, 2), 11, 16
+            ),
+        }
+        rng = np.random.default_rng(0)
+        chunks = rng.integers(0, 11, size=(40, 8)).astype(np.int64)
+        ckpt = tmp_path / "t.pth"
+        text_train.train(
+            joint, chunks[:32], chunks[32:],
+            cfg=cfg, sched=sched, ckpt_path=str(ckpt),
+            epochs=2, batch_size=8, ema_decay=0.9, resume=True,
+            use_lr_scheduling=False, log_fn=lambda *_: None,
+        )
+        assert ckpt.exists()
+        final = load_checkpoint(str(ckpt))
+        assert "diffusion_model" in final
+        saved_state = load_checkpoint(str(tmp_path / "t_state.pth"))
+        assert "ema" in saved_state
+        assert "diffusion_model" in saved_state["ema"]

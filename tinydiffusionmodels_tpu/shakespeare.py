@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--temperature", type=float, default=1.0,
                         help="guided-sampling logit temperature (the "
                              "reference hardcodes 1.0)")
+    parser.add_argument("--ema_decay", type=float, default=None,
+                        help="EMA of the joint weights (e.g. 0.999); "
+                             "val/best/final checkpoints use the EMA "
+                             "(framework extension)")
     parser.add_argument("--seq_parallel", action="store_true",
                         help="sequence-parallel training: shard the token "
                              "sequence over all devices and route attention "
@@ -311,6 +315,7 @@ def main(argv=None) -> None:
             resume_every=args.resume_every,
             metrics_path=args.metrics_path,
             compute_dtype=resolve_compute_dtype(args.dtype),
+            ema_decay=args.ema_decay,
         )
         diff_params = final["diffusion_model"]
         rounding_params = final["rounding_fn"]

@@ -189,6 +189,61 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
     return train_step_multi
 
 
+def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
+                                   use_learned_embeddings,
+                                   pretrained_matrix=None, compute_dtype=None):
+    """Scan-of-steps with an EMA of the joint params maintained in the same
+    dispatch (see mnist_train.make_train_step_multi_ema):
+    (state, ema, tokens (K, B, L), weight, key) -> (state, ema, sums)."""
+
+    def loss_fn(params, token_ids, rounding_weight, key):
+        b = token_ids.shape[0]
+        t = jax.random.randint(
+            substream(key, "timesteps"), (b,), 0, sched.timesteps
+        )
+        if use_learned_embeddings:
+            dim = params["embedding_fn"]["weight"].shape[1]
+        else:
+            dim = pretrained_matrix.shape[1]
+        noise = jax.random.normal(
+            substream(key, "noise"), (b, token_ids.shape[1], dim)
+        )
+        return _losses(
+            params, token_ids, t, noise, rounding_weight,
+            cfg=cfg, sched=sched,
+            use_learned_embeddings=use_learned_embeddings,
+            pretrained_matrix=pretrained_matrix,
+            deterministic=False, key=substream(key, "dropout"),
+            compute_dtype=compute_dtype,
+        )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step_multi(state: TrainState, ema, token_batches,
+                         rounding_weight, key):
+        def body(carry, token_ids):
+            state, ema = carry
+            step_key = jax.random.fold_in(key, state.step)
+            (total, (diff, round_)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params, token_ids, rounding_weight, step_key)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema_new = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay), ema, params
+            )
+            return (
+                (TrainState(params, opt_state, state.step + 1), ema_new),
+                jnp.stack([diff, round_, total]),
+            )
+
+        (state, ema), losses = jax.lax.scan(
+            body, (state, ema), token_batches, unroll=2
+        )
+        return state, ema, jnp.sum(losses, axis=0)
+
+    return train_step_multi
+
+
 def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
                         pretrained_matrix=None, compute_dtype=None):
     @jax.jit
@@ -290,6 +345,7 @@ def train(
     resume_every: int = 1,
     metrics_path: str | None = None,
     compute_dtype=None,
+    ema_decay: float | None = None,
     log_fn=print,
 ) -> dict:
     """Epoch loop with validation + early stopping
@@ -297,7 +353,11 @@ def train(
 
     ``resume=True`` adds the mid-training resume the reference lacks
     (SURVEY.md §5.4): full train state (joint params, optimizer state, step,
-    epoch, early-stopping counters) checkpointed every epoch."""
+    epoch, early-stopping counters) checkpointed every epoch.
+
+    ``ema_decay`` maintains an EMA of the joint params in the train scan;
+    validation, best-checkpoint selection, and the final checkpoint then use
+    the EMA weights."""
     steps_per_epoch = num_batches(train_chunks.shape[0], batch_size)
     total_steps = steps_per_epoch * epochs
     lr_sched = (
@@ -325,11 +385,18 @@ def train(
         pretrained_matrix = jnp.asarray(pretrained_matrix)
     state = replicate_tree(mesh, TrainState.create(joint_params, tx))
     chunk = max(1, int(os.environ.get("TDM_SCAN_CHUNK", "25")))
-    train_multi = make_text_train_step_multi(
-        sched, cfg, tx,
-        use_learned_embeddings=use_learned_embeddings,
-        pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
-    )
+    if ema_decay is None:
+        train_multi = make_text_train_step_multi(
+            sched, cfg, tx,
+            use_learned_embeddings=use_learned_embeddings,
+            pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
+        )
+    else:
+        train_multi_ema = make_text_train_step_multi_ema(
+            sched, cfg, tx, ema_decay=ema_decay,
+            use_learned_embeddings=use_learned_embeddings,
+            pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
+        )
     eval_multi = make_text_eval_multi(
         sched, cfg,
         use_learned_embeddings=use_learned_embeddings,
@@ -343,6 +410,7 @@ def train(
     best_val_loss = float("inf")
     patience_counter = 0
     start_epoch = 0
+    ema = None
 
     resume_path = resume_path or str(ckpt_path).replace(".pth", "_state.pth")
     if resume and os.path.exists(resume_path):
@@ -377,7 +445,28 @@ def train(
         start_epoch = int(saved["epoch"])
         best_val_loss = float(saved.get("best_val_loss", float("inf")))
         patience_counter = int(saved.get("patience_counter", 0))
+        if ema_decay is not None and "ema" in saved:
+            ema_params = {
+                "diffusion_model": transformer_from_state_dict(
+                    saved["ema"]["diffusion_model"]
+                ),
+                "rounding_fn": rounding_from_state_dict(
+                    saved["ema"]["rounding_fn"]
+                ),
+            }
+            if "embedding_fn" in saved["ema"]:
+                ema_params["embedding_fn"] = embedding_from_state_dict(
+                    saved["ema"]["embedding_fn"]
+                )
+            ema = replicate_tree(mesh, ema_params)
         log_fn(f"[resume] restored epoch {start_epoch} from {resume_path}")
+
+    # EMA starts from the (possibly restored) params; after resume, from the
+    # restored EMA above.
+    if ema_decay is not None and ema is None:
+        ema = replicate_tree(
+            mesh, jax.tree_util.tree_map(jnp.copy, state.params)
+        )
 
     for epoch in range(start_epoch, epochs):
         w = dynamic_rounding_weight_schedule(epoch, epochs, rounding_weight)
@@ -393,19 +482,26 @@ def train(
         train_key = substream(key, "train")
         pending: list[np.ndarray] = []
 
-        def flush(state, sums, pending):
+        def flush(state, ema, sums, pending):
             stacked = shard_stacked_batch(
                 mesh, jnp.asarray(np.stack(pending)), seq_axis=cfg.seq_axis
             )
-            state, batch_sums = train_multi(state, stacked, w_arr, train_key)
-            return state, sums + batch_sums
+            if ema_decay is None:
+                state, batch_sums = train_multi(
+                    state, stacked, w_arr, train_key
+                )
+            else:
+                state, ema, batch_sums = train_multi_ema(
+                    state, ema, stacked, w_arr, train_key
+                )
+            return state, ema, sums + batch_sums
 
         for tokens in batch_iterator(
             train_chunks, batch_size, seed=seed, epoch=epoch
         ):
             pending.append(tokens)
             if len(pending) == chunk:
-                state, sums = flush(state, sums, pending)
+                state, ema, sums = flush(state, ema, sums, pending)
                 n += chunk
                 nflush += 1
                 pending = []
@@ -417,7 +513,7 @@ def train(
                         f"loss~{float(sums[2]) / max(n, 1):.4f}"
                     )
         if pending:
-            state, sums = flush(state, sums, pending)
+            state, ema, sums = flush(state, ema, sums, pending)
             n += len(pending)
         train_losses = np.asarray(sums) / max(n, 1)
         dt = time.perf_counter() - t0
@@ -429,7 +525,8 @@ def train(
                 mesh, jnp.asarray(np.stack(val_batches)), seq_axis=cfg.seq_axis
             )
             vkey = jax.random.fold_in(substream(key, "val"), epoch)
-            vsums = eval_multi(state.params, stacked, w_arr, vkey)
+            eval_params = ema if ema_decay is not None else state.params
+            vsums = eval_multi(eval_params, stacked, w_arr, vkey)
             val_losses = np.asarray(vsums) / vn
         else:
             val_losses = np.zeros((3,))
@@ -466,7 +563,8 @@ def train(
             best_ckpt_path = str(ckpt_path).replace(".pth", "_best.pth")
             save_checkpoint(
                 _checkpoint_dict(
-                    state.params, epoch=epoch,
+                    ema if ema_decay is not None else state.params,
+                    epoch=epoch,
                     use_learned_embeddings=use_learned_embeddings,
                     extra={"val_loss": best_val_loss},
                     tokenizer_state=tokenizer_state,
@@ -498,6 +596,11 @@ def train(
                 },
                 tokenizer_state=tokenizer_state,
             )
+            if ema_decay is not None:
+                resume_ckpt["ema"] = _checkpoint_dict(
+                    ema, epoch=epoch + 1,
+                    use_learned_embeddings=use_learned_embeddings,
+                )
             save_checkpoint(resume_ckpt, resume_path)
 
     final_ckpt_path = (
@@ -508,7 +611,8 @@ def train(
     log_fn(f"✔ Saving final checkpoint to {final_ckpt_path}...")
     save_checkpoint(
         _checkpoint_dict(
-            state.params, epoch=epochs,
+            ema if ema_decay is not None else state.params,
+            epoch=epochs,
             use_learned_embeddings=use_learned_embeddings,
             extra={"final_training": True},
             tokenizer_state=tokenizer_state,
@@ -516,4 +620,4 @@ def train(
         final_ckpt_path,
     )
     metrics.close()
-    return jax.device_get(state.params)
+    return jax.device_get(ema if ema_decay is not None else state.params)
