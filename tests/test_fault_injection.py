@@ -118,3 +118,29 @@ class TestPreemptionResume:
         assert "[resume] restored epoch" in out.stdout
         assert "Saving final checkpoint" in out.stdout
         assert ckpt.exists()
+
+
+class TestCorruptResume:
+    def test_corrupt_resume_file_starts_fresh(self, tmp_path, monkeypatch,
+                                              capsys):
+        """A truncated/garbage resume checkpoint (interrupted staging) must
+        not kill the job: the trainer warns and trains from scratch."""
+        from tinydiffusionmodels_tpu.train import mnist_train
+
+        monkeypatch.setenv("TDM_DATA_LIMIT", "64")
+        monkeypatch.setenv("TDM_SCAN_CHUNK", "2")
+        ckpt = tmp_path / "m.pth"
+        state_path = tmp_path / "m_state.pth"
+        state_path.write_bytes(b"not a zip, not a pickle")
+        logs: list[str] = []
+        mnist_train.train(
+            epochs=1, batch_size=16, ckpt_path=str(ckpt),
+            sample_every_epoch=False, resume=True,
+            data_root=str(tmp_path), log_fn=logs.append,
+        )
+        assert ckpt.exists()
+        assert any("could not read" in m for m in logs)
+        # The run completed and rewrote a valid resume state.
+        from tinydiffusionmodels_tpu.io import load_checkpoint
+
+        assert "model" in load_checkpoint(str(state_path))

@@ -277,22 +277,30 @@ def train(
         from tinydiffusionmodels_tpu.io import load_checkpoint
         from tinydiffusionmodels_tpu.io.checkpoint import unet_from_state_dict
 
-        saved = load_checkpoint(resume_path)
-        saved_ema_sd = saved.get("ema")
-        # Optimizer state is stored as flat leaves; the treedef (optax
-        # namedtuple nesting) is rebuilt from a freshly-initialized template.
-        treedef = jax.tree_util.tree_structure(state.opt_state)
-        opt_state = jax.tree_util.tree_unflatten(
-            treedef, [jnp.asarray(x) for x in saved["opt_state_leaves"]]
-        )
-        state = TrainState(
-            params=unet_from_state_dict(saved["model"]),
-            opt_state=opt_state,
-            step=jnp.asarray(saved["step"], dtype=jnp.int32),
-        )
-        start_epoch = int(saved["epoch"])
-        log_fn(f"[resume] restored epoch {start_epoch}, step {saved['step']} "
-               f"from {resume_path}")
+        try:
+            saved = load_checkpoint(resume_path)
+        except Exception as e:
+            # A corrupt/truncated resume file (e.g. interrupted GCS staging)
+            # must not kill the job — warn and train from scratch.
+            log_fn(f"[resume] could not read {resume_path} ({e}); "
+                   "starting fresh")
+            saved = None
+        if saved is not None:
+            saved_ema_sd = saved.get("ema")
+            # Optimizer state is stored as flat leaves; the treedef (optax
+            # namedtuple nesting) is rebuilt from a fresh-init template.
+            treedef = jax.tree_util.tree_structure(state.opt_state)
+            opt_state = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(x) for x in saved["opt_state_leaves"]]
+            )
+            state = TrainState(
+                params=unet_from_state_dict(saved["model"]),
+                opt_state=opt_state,
+                step=jnp.asarray(saved["step"], dtype=jnp.int32),
+            )
+            start_epoch = int(saved["epoch"])
+            log_fn(f"[resume] restored epoch {start_epoch}, step "
+                   f"{saved['step']} from {resume_path}")
 
     state = replicate_tree(mesh, state)
     ema = None

@@ -421,45 +421,54 @@ def train(
             transformer_from_state_dict,
         )
 
-        saved = load_checkpoint(resume_path)
-        params = {
-            "diffusion_model": transformer_from_state_dict(
-                saved["diffusion_model"]
-            ),
-            "rounding_fn": rounding_from_state_dict(saved["rounding_fn"]),
-        }
-        if "embedding_fn" in saved:
-            params["embedding_fn"] = embedding_from_state_dict(
-                saved["embedding_fn"]
-            )
-        treedef = jax.tree_util.tree_structure(state.opt_state)
-        opt_state = jax.tree_util.tree_unflatten(
-            treedef, [jnp.asarray(x) for x in saved["opt_state_leaves"]]
-        )
-        state = replicate_tree(
-            mesh,
-            TrainState(
-                params, opt_state, jnp.asarray(saved["step"], jnp.int32)
-            ),
-        )
-        start_epoch = int(saved["epoch"])
-        best_val_loss = float(saved.get("best_val_loss", float("inf")))
-        patience_counter = int(saved.get("patience_counter", 0))
-        if ema_decay is not None and "ema" in saved:
-            ema_params = {
+        try:
+            saved = load_checkpoint(resume_path)
+        except Exception as e:
+            # Corrupt/truncated resume file must not kill the job.
+            log_fn(f"[resume] could not read {resume_path} ({e}); "
+                   "starting fresh")
+            saved = None
+        if saved is None:
+            params = None
+        else:
+            params = {
                 "diffusion_model": transformer_from_state_dict(
-                    saved["ema"]["diffusion_model"]
+                    saved["diffusion_model"]
                 ),
-                "rounding_fn": rounding_from_state_dict(
-                    saved["ema"]["rounding_fn"]
-                ),
+                "rounding_fn": rounding_from_state_dict(saved["rounding_fn"]),
             }
-            if "embedding_fn" in saved["ema"]:
-                ema_params["embedding_fn"] = embedding_from_state_dict(
-                    saved["ema"]["embedding_fn"]
+            if "embedding_fn" in saved:
+                params["embedding_fn"] = embedding_from_state_dict(
+                    saved["embedding_fn"]
                 )
-            ema = replicate_tree(mesh, ema_params)
-        log_fn(f"[resume] restored epoch {start_epoch} from {resume_path}")
+            treedef = jax.tree_util.tree_structure(state.opt_state)
+            opt_state = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(x) for x in saved["opt_state_leaves"]]
+            )
+            state = replicate_tree(
+                mesh,
+                TrainState(
+                    params, opt_state, jnp.asarray(saved["step"], jnp.int32)
+                ),
+            )
+            start_epoch = int(saved["epoch"])
+            best_val_loss = float(saved.get("best_val_loss", float("inf")))
+            patience_counter = int(saved.get("patience_counter", 0))
+            if ema_decay is not None and "ema" in saved:
+                ema_params = {
+                    "diffusion_model": transformer_from_state_dict(
+                        saved["ema"]["diffusion_model"]
+                    ),
+                    "rounding_fn": rounding_from_state_dict(
+                        saved["ema"]["rounding_fn"]
+                    ),
+                }
+                if "embedding_fn" in saved["ema"]:
+                    ema_params["embedding_fn"] = embedding_from_state_dict(
+                        saved["ema"]["embedding_fn"]
+                    )
+                ema = replicate_tree(mesh, ema_params)
+            log_fn(f"[resume] restored epoch {start_epoch} from {resume_path}")
 
     # EMA starts from the (possibly restored) params; after resume, from the
     # restored EMA above.
