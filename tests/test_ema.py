@@ -185,3 +185,24 @@ class TestTextEma:
         saved_state = load_checkpoint(str(tmp_path / "t_state.pth"))
         assert "ema" in saved_state
         assert "diffusion_model" in saved_state["ema"]
+
+        # Restart: the restored run must pick up the saved EMA and finish.
+        # train() donates its params (scan-of-steps buffer donation), so the
+        # restart needs fresh arrays.
+        joint2 = {
+            "diffusion_model": init_tiny_transformer(key, cfg),
+            "rounding_fn": init_learned_rounding(
+                jax.random.fold_in(key, 1), 16, 11
+            ),
+            "embedding_fn": init_learned_embedding(
+                jax.random.fold_in(key, 2), 11, 16
+            ),
+        }
+        logs: list[str] = []
+        text_train.train(
+            joint2, chunks[:32], chunks[32:],
+            cfg=cfg, sched=sched, ckpt_path=str(ckpt),
+            epochs=3, batch_size=8, ema_decay=0.9, resume=True,
+            use_lr_scheduling=False, log_fn=logs.append,
+        )
+        assert any("restored epoch 2" in m for m in logs), logs[:5]
