@@ -48,6 +48,24 @@ def q_sample(
     return sqrt_acp * x_start + sqrt_om * noise
 
 
+def eps_from_x0(
+    sched: DiffusionSchedule,
+    x_t: jax.Array,
+    t: jax.Array,
+    x0_pred: jax.Array,
+) -> jax.Array:
+    """Convert an x0-prediction into the equivalent eps-prediction.
+
+    Inverts q_sample: eps = (x_t - sqrt(acp_t) * x0) / sqrt(1 - acp_t).
+    Lets an x0-parameterized denoiser (the original Diffusion-LM choice;
+    the reference trains eps-prediction, src/shakespeare.py:232-236) reuse
+    every eps-based sampler unchanged.
+    """
+    sqrt_acp = _bcast(sched.sqrt_alphas_cumprod, t, x_t.ndim)
+    sqrt_om = _bcast(sched.sqrt_one_minus_alphas_cumprod, t, x_t.ndim)
+    return (x_t - sqrt_acp * x0_pred) / sqrt_om
+
+
 def p_sample_mean(
     sched: DiffusionSchedule,
     x: jax.Array,

@@ -29,6 +29,29 @@ from tinydiffusionmodels_tpu.sample.ancestral import sample_loop
 from tinydiffusionmodels_tpu.sample.guided import guided_generate_scan
 
 
+def make_denoiser(
+    diff_params: dict,
+    cfg: TransformerConfig,
+    sched: DiffusionSchedule,
+    *,
+    parameterization: str = "eps",
+):
+    """(x, t) -> eps regardless of the model's output parameterization.
+
+    "eps" is the reference's choice (src/shakespeare.py:232-236); "x0" is
+    the original Diffusion-LM parameterization (model predicts the clean
+    embeddings; converted to eps so every sampler works unchanged)."""
+    from tinydiffusionmodels_tpu.core.diffusion import eps_from_x0
+
+    def denoise(x, t):
+        pred = tiny_transformer_apply(diff_params, x, t, cfg)
+        if parameterization == "x0":
+            return eps_from_x0(sched, x, t, pred)
+        return pred
+
+    return denoise
+
+
 def make_clamped_denoiser(
     diff_params: dict,
     cfg: TransformerConfig,
@@ -37,6 +60,7 @@ def make_clamped_denoiser(
     rounding_params: dict | None,
     embedding_table: jax.Array,
     use_learned_rounding: bool = True,
+    parameterization: str = "eps",
 ):
     """Denoiser wrapper implementing the Diffusion-LM "clamping trick"
     (Li et al. 2022, §4): at every reverse step, snap the implied x0
@@ -52,10 +76,13 @@ def make_clamped_denoiser(
     from tinydiffusionmodels_tpu.core.diffusion import _bcast
 
     def denoise(x, t):
-        eps = tiny_transformer_apply(diff_params, x, t, cfg)
+        pred = tiny_transformer_apply(diff_params, x, t, cfg)
         sqrt_acp = _bcast(sched.sqrt_alphas_cumprod, t, x.ndim)
         sqrt_om = _bcast(sched.sqrt_one_minus_alphas_cumprod, t, x.ndim)
-        x0 = (x - sqrt_om * eps) / sqrt_acp
+        if parameterization == "x0":
+            x0 = pred
+        else:
+            x0 = (x - sqrt_om * pred) / sqrt_acp
         if use_learned_rounding:
             logits = rounding_apply(rounding_params, x0)
         else:
@@ -78,9 +105,12 @@ def sample_diffusion_embeddings(
     embed_dim: int,
     method: str = "ancestral",
     num_steps: int | None = None,
+    parameterization: str = "eps",
 ) -> jax.Array:
     """Reverse-diffuse pure embeddings z (reference src/shakespeare.py:418-426)."""
-    denoise = lambda x, t: tiny_transformer_apply(diff_params, x, t, cfg)
+    denoise = make_denoiser(
+        diff_params, cfg, sched, parameterization=parameterization
+    )
     return jax.jit(
         lambda k: sample_loop(
             denoise, sched, (n, seq_len, embed_dim), k,
@@ -123,6 +153,7 @@ def sample_text(
     method: str = "ancestral",
     num_steps: int | None = None,
     clamp: bool = False,
+    parameterization: str = "eps",
     log_fn=print,
 ) -> list[str]:
     """Pure diffusion text sampling (reference src/shakespeare.py:355-415).
@@ -137,6 +168,7 @@ def sample_text(
             rounding_params=rounding_params,
             embedding_table=embed_matrix,
             use_learned_rounding=use_learned_rounding,
+            parameterization=parameterization,
         )
         x = jax.jit(
             lambda k: sample_loop(
@@ -149,6 +181,7 @@ def sample_text(
             diff_params, cfg, sched, key,
             n=n_samples, seq_len=seq_len, embed_dim=embed_dim,
             method=method, num_steps=num_steps,
+            parameterization=parameterization,
         )
     tokens = decode_embeddings(
         x,

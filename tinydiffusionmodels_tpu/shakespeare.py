@@ -84,6 +84,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--temperature", type=float, default=1.0,
                         help="guided-sampling logit temperature (the "
                              "reference hardcodes 1.0)")
+    parser.add_argument("--parameterization", choices=["eps", "x0"],
+                        default="eps",
+                        help="denoiser output: eps (reference) or x0 "
+                             "(original Diffusion-LM; samplers auto-detect "
+                             "from the checkpoint)")
     parser.add_argument("--ema_decay", type=float, default=None,
                         help="EMA of the joint weights (e.g. 0.999); "
                              "val/best/final checkpoints use the EMA "
@@ -316,6 +321,7 @@ def main(argv=None) -> None:
             metrics_path=args.metrics_path,
             compute_dtype=resolve_compute_dtype(args.dtype),
             ema_decay=args.ema_decay,
+            parameterization=args.parameterization,
         )
         diff_params = final["diffusion_model"]
         rounding_params = final["rounding_fn"]
@@ -326,6 +332,11 @@ def main(argv=None) -> None:
     use_cosine_fallback = args.use_cosine_fallback
     if (args.sample or args.guided_sample) and not args.train:
         checkpoint = load_checkpoint(args.ckpt)
+        if isinstance(checkpoint, dict) and "parameterization" in checkpoint:
+            if checkpoint["parameterization"] != args.parameterization:
+                print(f"[ckpt] parameterization="
+                      f"{checkpoint['parameterization']} (from checkpoint)")
+            args.parameterization = checkpoint["parameterization"]
         if isinstance(checkpoint, dict) and "diffusion_model" in checkpoint:
             diff_params = transformer_from_state_dict(
                 checkpoint["diffusion_model"]
@@ -375,6 +386,7 @@ def main(argv=None) -> None:
             use_learned_rounding=not use_cosine_fallback,
             method=args.sampler, num_steps=args.steps,
             clamp=args.clamp,
+            parameterization=args.parameterization,
         )
 
     # --- guided sampling --------------------------------------------------
@@ -389,6 +401,7 @@ def main(argv=None) -> None:
             diff_params, cfg, sched, substream(key, "guided"),
             n=args.n, seq_len=args.seq_len, embed_dim=embed_dim,
             method=args.sampler, num_steps=args.steps,
+            parameterization=args.parameterization,
         )
 
         lm_choice = args.base_lm

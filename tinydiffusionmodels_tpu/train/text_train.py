@@ -69,11 +69,16 @@ def _losses(
     deterministic: bool,
     key: jax.Array | None,
     compute_dtype=None,
+    parameterization: str = "eps",
 ):
     """Joint diffusion + rounding loss (reference src/shakespeare.py:224-243).
 
     ``compute_dtype=jnp.bfloat16`` runs the transformer/rounding forward in
-    bf16 (grads and losses stay f32)."""
+    bf16 (grads and losses stay f32).
+
+    ``parameterization``: "eps" (reference, predict the noise) or "x0"
+    (original Diffusion-LM: predict the clean embeddings; samplers convert
+    to eps via core.diffusion.eps_from_x0)."""
     if use_learned_embeddings:
         x0 = embedding_apply(joint_params["embedding_fn"], token_ids)
     else:
@@ -84,12 +89,13 @@ def _losses(
     if compute_dtype is not None:
         x_noisy = x_noisy.astype(compute_dtype)
         x0_c = x0.astype(compute_dtype)
-    eps_pred = tiny_transformer_apply(
+    pred = tiny_transformer_apply(
         params_c["diffusion_model"], x_noisy, t, cfg,
         deterministic=deterministic, key=key,
     )
+    target = x0 if parameterization == "x0" else noise
     diffusion_loss = jnp.mean(
-        jnp.square(eps_pred.astype(jnp.float32) - noise)
+        jnp.square(pred.astype(jnp.float32) - target)
     )
 
     logits = rounding_apply(params_c["rounding_fn"], x0_c)  # (B, L, V)
@@ -102,7 +108,8 @@ def _losses(
 
 
 def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
-                         pretrained_matrix=None, compute_dtype=None):
+                         pretrained_matrix=None, compute_dtype=None,
+                         parameterization="eps"):
     """(state, tokens (B,L), weight, key) -> (state, (diff, round, total))."""
 
     def loss_fn(params, token_ids, rounding_weight, key):
@@ -123,7 +130,7 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=False, key=substream(key, "dropout"),
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, parameterization=parameterization,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -140,7 +147,8 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
 
 
 def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
-                               pretrained_matrix=None, compute_dtype=None):
+                               pretrained_matrix=None, compute_dtype=None,
+                               parameterization="eps"):
     """Scan K optimizer steps in one dispatch (see mnist_train.
     make_train_step_multi for why): (state, tokens (K, B, L), weight, key)
     -> (state, summed (diff, round, total))."""
@@ -163,7 +171,7 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=False, key=substream(key, "dropout"),
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, parameterization=parameterization,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -191,7 +199,8 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
 
 def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
                                    use_learned_embeddings,
-                                   pretrained_matrix=None, compute_dtype=None):
+                                   pretrained_matrix=None, compute_dtype=None,
+                                   parameterization="eps"):
     """Scan-of-steps with an EMA of the joint params maintained in the same
     dispatch (see mnist_train.make_train_step_multi_ema):
     (state, ema, tokens (K, B, L), weight, key) -> (state, ema, sums)."""
@@ -214,7 +223,7 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=False, key=substream(key, "dropout"),
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, parameterization=parameterization,
         )
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -245,7 +254,8 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
 
 
 def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
-                        pretrained_matrix=None, compute_dtype=None):
+                        pretrained_matrix=None, compute_dtype=None,
+                        parameterization="eps"):
     @jax.jit
     def eval_step(params, token_ids, rounding_weight, key):
         b = token_ids.shape[0]
@@ -265,7 +275,7 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=True, key=None,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, parameterization=parameterization,
         )
         return diff, round_, total
 
@@ -273,12 +283,14 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
 
 
 def make_text_eval_multi(sched, cfg, *, use_learned_embeddings,
-                         pretrained_matrix=None, compute_dtype=None):
+                         pretrained_matrix=None, compute_dtype=None,
+                         parameterization="eps"):
     """Scanned validation pass: (params, tokens (K, B, L), weight, key) ->
     summed (diff, round, total) over K batches in one dispatch."""
     eval_one = make_text_eval_step(
         sched, cfg, use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
+        parameterization=parameterization,
     )
 
     @jax.jit
@@ -298,7 +310,8 @@ def make_text_eval_multi(sched, cfg, *, use_learned_embeddings,
 
 
 def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
-                     extra: dict | None = None, tokenizer_state: dict | None = None) -> dict:
+                     extra: dict | None = None, tokenizer_state: dict | None = None,
+                     parameterization: str = "eps") -> dict:
     ckpt: dict[str, Any] = {
         "diffusion_model": transformer_to_state_dict(
             jax.device_get(params["diffusion_model"])
@@ -307,6 +320,9 @@ def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
             jax.device_get(params["rounding_fn"])
         ),
         "epoch": epoch,
+        # Extra key on top of the reference dict format: which output the
+        # denoiser was trained to predict, so samplers self-configure.
+        "parameterization": parameterization,
     }
     if use_learned_embeddings and "embedding_fn" in params:
         ckpt["embedding_fn"] = embedding_to_state_dict(
@@ -346,6 +362,7 @@ def train(
     metrics_path: str | None = None,
     compute_dtype=None,
     ema_decay: float | None = None,
+    parameterization: str = "eps",
     log_fn=print,
 ) -> dict:
     """Epoch loop with validation + early stopping
@@ -390,17 +407,20 @@ def train(
             sched, cfg, tx,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
+            parameterization=parameterization,
         )
     else:
         train_multi_ema = make_text_train_step_multi_ema(
             sched, cfg, tx, ema_decay=ema_decay,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
+            parameterization=parameterization,
         )
     eval_multi = make_text_eval_multi(
         sched, cfg,
         use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
+        parameterization=parameterization,
     )
 
     from tinydiffusionmodels_tpu.train.metrics import MetricsLogger
@@ -577,6 +597,7 @@ def train(
                     use_learned_embeddings=use_learned_embeddings,
                     extra={"val_loss": best_val_loss},
                     tokenizer_state=tokenizer_state,
+                    parameterization=parameterization,
                 ),
                 best_ckpt_path,
             )
@@ -625,6 +646,7 @@ def train(
             use_learned_embeddings=use_learned_embeddings,
             extra={"final_training": True},
             tokenizer_state=tokenizer_state,
+            parameterization=parameterization,
         ),
         final_ckpt_path,
     )

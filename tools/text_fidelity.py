@@ -155,6 +155,7 @@ def main() -> None:
     # torch layout (out=vocab, in=embed_dim) — io/checkpoint.py:187-193
     embed_dim = np.asarray(ckpt["rounding_fn"]["decoder.weight"]).shape[1]
     cfg = TransformerConfig(dim=int(embed_dim), timesteps=sched.timesteps)
+    parameterization = ckpt.get("parameterization", "eps")
 
     # --- generate ----------------------------------------------------------
     if args.mode == "pure":
@@ -164,6 +165,7 @@ def main() -> None:
             n_samples=args.n, seq_len=args.seq_len, embed_dim=int(embed_dim),
             use_learned_rounding=True, method=args.sampler,
             num_steps=args.steps, clamp=args.clamp, save=False,
+            parameterization=parameterization,
             log_fn=lambda *_: None,
         )
     else:
@@ -180,6 +182,7 @@ def main() -> None:
             diff_params, cfg, sched, substream(key, "guided"),
             n=args.n, seq_len=args.seq_len, embed_dim=int(embed_dim),
             method=args.sampler, num_steps=args.steps,
+            parameterization=parameterization,
         )
         lm_cfg_g = TinyGPTConfig(
             vocab_size=tokenizer.vocab_size, dim=256, n_heads=4, depth=4,
