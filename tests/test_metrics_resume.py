@@ -109,3 +109,49 @@ class TestTextResume:
         assert any("[resume] restored epoch 1" in l for l in logs)
         # Only epoch 2 ran in the second call.
         assert sum("Epoch " in l and "it/s" in l for l in logs) == 1
+
+
+class TestEmptyValSet:
+    def test_no_early_stop_without_val_signal(self, tmp_path, monkeypatch):
+        """--val_split 0 regression: with no val batches there is no signal,
+        so patience must never count and training must run all epochs.
+        (The reference would ZeroDivisionError, src/shakespeare.py:281.)"""
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.delenv("AIP_MODEL_DIR", raising=False)
+        import jax
+
+        from tinydiffusionmodels_tpu.core import make_schedule
+        from tinydiffusionmodels_tpu.models import (
+            init_learned_embedding,
+            init_learned_rounding,
+            init_tiny_transformer,
+        )
+        from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
+        from tinydiffusionmodels_tpu.train import text_train
+
+        sched = make_schedule(50)
+        cfg = TransformerConfig(dim=32, depth=1, ffn_dim=64,
+                                timesteps=sched.timesteps)
+        key = jax.random.PRNGKey(0)
+        params = {
+            "diffusion_model": init_tiny_transformer(key, cfg),
+            "rounding_fn": init_learned_rounding(
+                jax.random.fold_in(key, 1), 32, 30
+            ),
+            "embedding_fn": init_learned_embedding(
+                jax.random.fold_in(key, 2), 30, 32
+            ),
+        }
+        rng = np.random.default_rng(0)
+        train_chunks = rng.integers(0, 30, size=(16, 16)).astype(np.int64)
+        val_chunks = np.zeros((0, 16), dtype=np.int64)
+
+        logs = []
+        text_train.train(
+            params, train_chunks, val_chunks,
+            cfg=cfg, sched=sched, ckpt_path="t.pth", batch_size=8,
+            warmup_steps=2, epochs=4, patience=2,
+            log_fn=lambda *a: logs.append(" ".join(map(str, a))),
+        )
+        assert not any("Early stopping" in l for l in logs)
+        assert sum("Epoch " in l and "it/s" in l for l in logs) == 4

@@ -67,3 +67,11 @@ class TestRingAttention:
         np.testing.assert_allclose(
             np.asarray(fn(q)), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
+
+    def test_dropout_without_key_raises(self, eight_devices):
+        # ADVICE r2: the shard_map wrapper substitutes a dummy key, which
+        # must never silently stand in for a real dropout key.
+        mesh = make_mesh()
+        q = jnp.zeros((1, 1, 64, 16))
+        with pytest.raises(ValueError, match="dropout_key"):
+            ring_attention(q, q, q, mesh, dropout_rate=0.5)

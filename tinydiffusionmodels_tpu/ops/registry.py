@@ -102,8 +102,20 @@ _SEQ_MESHES: dict[str, Any] = {}
 
 
 def register_sequence_mesh(mesh, axis: str = "seq") -> None:
-    """Register ``mesh`` as the ring for sequence axis ``axis``."""
+    """Register ``mesh`` as the ring for sequence axis ``axis``.
+
+    The registered mesh is bound at *trace* time: a function already jitted
+    and traced with one mesh keeps using it from its compile cache even if
+    this is later called with a different mesh for the same axis. When
+    re-registering an axis with a different mesh, cached traces are cleared
+    so subsequent calls retrace against the new mesh.
+    """
+    prev = _SEQ_MESHES.get(axis)
     _SEQ_MESHES[axis] = mesh
+    if prev is not None and prev is not mesh:
+        # Stale-mesh hazard: drop compile caches so old traces can't keep
+        # routing collectives over the previous mesh.
+        jax.clear_caches()
 
 
 def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,

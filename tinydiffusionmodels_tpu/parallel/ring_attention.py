@@ -224,6 +224,11 @@ def ring_attention(
     n = mesh.shape[axis]
     if l % n:
         raise ValueError(f"sequence {l} not divisible by ring size {n}")
+    if dropout_rate > 0.0 and dropout_key is None:
+        # Raise here, not just in ring_attention_shard: the shard_map wrapper
+        # substitutes a dummy key below, which would otherwise silently apply
+        # the SAME deterministic dropout mask on every call.
+        raise ValueError("dropout_rate > 0 requires dropout_key")
 
     def local(q_loc, k_loc, v_loc, key_loc):
         return ring_attention_shard(

@@ -55,6 +55,14 @@ from tinydiffusionmodels_tpu.train.precision import cast_floating
 from tinydiffusionmodels_tpu.train.state import TrainState
 
 
+def _clamp_to_embedding(x0_hat, rounding_params, emb_table):
+    """Snap an x0 estimate to its nearest embedding via the rounding head
+    (the same clamp the sampler applies, sample/text.make_clamped_denoiser)."""
+    logits = rounding_apply(rounding_params, x0_hat)
+    tokens = jnp.argmax(logits, axis=-1)
+    return jnp.take(emb_table, tokens, axis=0)
+
+
 def _losses(
     joint_params: dict,
     token_ids: jax.Array,
@@ -70,6 +78,7 @@ def _losses(
     key: jax.Array | None,
     compute_dtype=None,
     parameterization: str = "eps",
+    clamp_train: bool = False,
 ):
     """Joint diffusion + rounding loss (reference src/shakespeare.py:224-243).
 
@@ -78,7 +87,21 @@ def _losses(
 
     ``parameterization``: "eps" (reference, predict the noise) or "x0"
     (original Diffusion-LM: predict the clean embeddings; samplers convert
-    to eps via core.diffusion.eps_from_x0)."""
+    to eps via core.diffusion.eps_from_x0).
+
+    ``cfg.self_cond``: with probability 1/2 per batch, run a gradient-free
+    first pass to get an x0 estimate and feed it back through the model's
+    self-conditioning channel (Analog Bits-style training); the other half
+    trains the no-estimate (zeros) channel the sampler uses at its first
+    step. ``lax.cond`` keeps the average cost at 1.5 forwards.
+
+    ``clamp_train``: x0-parameterization only — add a loss term against the
+    *clamped* prediction the sampler actually uses (straight-through
+    estimator through the nearest-embedding snap). The clamped term is
+    denoiser-only: both the snap lookup and the target are stop-gradiented
+    so it cannot collapse the embedding table (emb[pred] being pulled onto
+    emb[true] is exactly the rounding CE's job, in logit space where it
+    belongs)."""
     if use_learned_embeddings:
         x0 = embedding_apply(joint_params["embedding_fn"], token_ids)
     else:
@@ -89,14 +112,72 @@ def _losses(
     if compute_dtype is not None:
         x_noisy = x_noisy.astype(compute_dtype)
         x0_c = x0.astype(compute_dtype)
+
+    if use_learned_embeddings:
+        emb_table = joint_params["embedding_fn"]["weight"]
+    else:
+        emb_table = pretrained_matrix
+
+    x0_prev = None
+    if cfg.self_cond:
+        from tinydiffusionmodels_tpu.core.diffusion import _bcast
+
+        def estimate(_):
+            # Gradient-free estimate pass with the zeros channel (eval-mode
+            # dropout: this mirrors how the sampler produces the estimate).
+            pred1 = tiny_transformer_apply(
+                params_c["diffusion_model"], x_noisy, t, cfg,
+                deterministic=True, x0_prev=jnp.zeros_like(x_noisy),
+            ).astype(jnp.float32)
+            if parameterization == "x0":
+                est = pred1
+            else:
+                sqrt_acp = _bcast(sched.sqrt_alphas_cumprod, t, pred1.ndim)
+                sqrt_om = _bcast(
+                    sched.sqrt_one_minus_alphas_cumprod, t, pred1.ndim
+                )
+                est = (
+                    x_noisy.astype(jnp.float32) - sqrt_om * pred1
+                ) / sqrt_acp
+            if clamp_train:
+                est = _clamp_to_embedding(
+                    est, joint_params["rounding_fn"], emb_table
+                )
+            return jax.lax.stop_gradient(est)
+
+        if deterministic:
+            # Validation measures the estimate-fed channel: after step one,
+            # that is the channel every sampler step runs.
+            x0_prev = estimate(None)
+        else:
+            coin = jax.random.bernoulli(substream(key, "selfcond_coin"))
+            x0_prev = jax.lax.cond(
+                coin,
+                estimate,
+                lambda _: jnp.zeros(x_noisy.shape, jnp.float32),
+                operand=None,
+            )
+
     pred = tiny_transformer_apply(
         params_c["diffusion_model"], x_noisy, t, cfg,
-        deterministic=deterministic, key=key,
+        deterministic=deterministic, key=key, x0_prev=x0_prev,
     )
     target = x0 if parameterization == "x0" else noise
-    diffusion_loss = jnp.mean(
-        jnp.square(pred.astype(jnp.float32) - target)
-    )
+    pred_f32 = pred.astype(jnp.float32)
+    if clamp_train:
+        x0_snap = jax.lax.stop_gradient(
+            _clamp_to_embedding(pred_f32, joint_params["rounding_fn"],
+                                emb_table)
+        )
+        pred_ste = pred_f32 + (x0_snap - jax.lax.stop_gradient(pred_f32))
+        diffusion_loss = 0.5 * (
+            jnp.mean(jnp.square(pred_f32 - target))
+            + jnp.mean(
+                jnp.square(pred_ste - jax.lax.stop_gradient(target))
+            )
+        )
+    else:
+        diffusion_loss = jnp.mean(jnp.square(pred_f32 - target))
 
     logits = rounding_apply(params_c["rounding_fn"], x0_c)  # (B, L, V)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -109,7 +190,7 @@ def _losses(
 
 def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
                          pretrained_matrix=None, compute_dtype=None,
-                         parameterization="eps"):
+                         parameterization="eps", clamp_train=False):
     """(state, tokens (B,L), weight, key) -> (state, (diff, round, total))."""
 
     def loss_fn(params, token_ids, rounding_weight, key):
@@ -131,6 +212,7 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
+            clamp_train=clamp_train,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -148,7 +230,7 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
 
 def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
                                pretrained_matrix=None, compute_dtype=None,
-                               parameterization="eps"):
+                               parameterization="eps", clamp_train=False):
     """Scan K optimizer steps in one dispatch (see mnist_train.
     make_train_step_multi for why): (state, tokens (K, B, L), weight, key)
     -> (state, summed (diff, round, total))."""
@@ -172,6 +254,7 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
+            clamp_train=clamp_train,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -200,7 +283,7 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
 def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
                                    use_learned_embeddings,
                                    pretrained_matrix=None, compute_dtype=None,
-                                   parameterization="eps"):
+                                   parameterization="eps", clamp_train=False):
     """Scan-of-steps with an EMA of the joint params maintained in the same
     dispatch (see mnist_train.make_train_step_multi_ema):
     (state, ema, tokens (K, B, L), weight, key) -> (state, ema, sums)."""
@@ -224,6 +307,7 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
             pretrained_matrix=pretrained_matrix,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
+            clamp_train=clamp_train,
         )
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -255,7 +339,7 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
 
 def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
                         pretrained_matrix=None, compute_dtype=None,
-                        parameterization="eps"):
+                        parameterization="eps", clamp_train=False):
     @jax.jit
     def eval_step(params, token_ids, rounding_weight, key):
         b = token_ids.shape[0]
@@ -276,6 +360,7 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=True, key=None,
             compute_dtype=compute_dtype, parameterization=parameterization,
+            clamp_train=clamp_train,
         )
         return diff, round_, total
 
@@ -284,13 +369,13 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
 
 def make_text_eval_multi(sched, cfg, *, use_learned_embeddings,
                          pretrained_matrix=None, compute_dtype=None,
-                         parameterization="eps"):
+                         parameterization="eps", clamp_train=False):
     """Scanned validation pass: (params, tokens (K, B, L), weight, key) ->
     summed (diff, round, total) over K batches in one dispatch."""
     eval_one = make_text_eval_step(
         sched, cfg, use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
-        parameterization=parameterization,
+        parameterization=parameterization, clamp_train=clamp_train,
     )
 
     @jax.jit
@@ -311,7 +396,8 @@ def make_text_eval_multi(sched, cfg, *, use_learned_embeddings,
 
 def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
                      extra: dict | None = None, tokenizer_state: dict | None = None,
-                     parameterization: str = "eps") -> dict:
+                     parameterization: str = "eps",
+                     self_cond: bool = False) -> dict:
     ckpt: dict[str, Any] = {
         "diffusion_model": transformer_to_state_dict(
             jax.device_get(params["diffusion_model"])
@@ -320,9 +406,11 @@ def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
             jax.device_get(params["rounding_fn"])
         ),
         "epoch": epoch,
-        # Extra key on top of the reference dict format: which output the
-        # denoiser was trained to predict, so samplers self-configure.
+        # Extra keys on top of the reference dict format: which output the
+        # denoiser was trained to predict + whether it has a
+        # self-conditioning channel, so samplers self-configure.
         "parameterization": parameterization,
+        "self_cond": self_cond,
     }
     if use_learned_embeddings and "embedding_fn" in params:
         ckpt["embedding_fn"] = embedding_to_state_dict(
@@ -363,6 +451,7 @@ def train(
     compute_dtype=None,
     ema_decay: float | None = None,
     parameterization: str = "eps",
+    clamp_train: bool = False,
     log_fn=print,
 ) -> dict:
     """Epoch loop with validation + early stopping
@@ -375,6 +464,11 @@ def train(
     ``ema_decay`` maintains an EMA of the joint params in the train scan;
     validation, best-checkpoint selection, and the final checkpoint then use
     the EMA weights."""
+    if clamp_train and parameterization != "x0":
+        raise ValueError(
+            "clamp_train requires --parameterization x0 (the clamp operates "
+            "on the predicted clean embeddings)"
+        )
     steps_per_epoch = num_batches(train_chunks.shape[0], batch_size)
     total_steps = steps_per_epoch * epochs
     lr_sched = (
@@ -407,20 +501,20 @@ def train(
             sched, cfg, tx,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
-            parameterization=parameterization,
+            parameterization=parameterization, clamp_train=clamp_train,
         )
     else:
         train_multi_ema = make_text_train_step_multi_ema(
             sched, cfg, tx, ema_decay=ema_decay,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
-            parameterization=parameterization,
+            parameterization=parameterization, clamp_train=clamp_train,
         )
     eval_multi = make_text_eval_multi(
         sched, cfg,
         use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
-        parameterization=parameterization,
+        parameterization=parameterization, clamp_train=clamp_train,
     )
 
     from tinydiffusionmodels_tpu.train.metrics import MetricsLogger
@@ -598,11 +692,17 @@ def train(
                     extra={"val_loss": best_val_loss},
                     tokenizer_state=tokenizer_state,
                     parameterization=parameterization,
+                    self_cond=cfg.self_cond,
                 ),
                 best_ckpt_path,
             )
             log_fn(f"  New best validation loss! Saved to {best_ckpt_path}")
-        else:
+        elif vn:
+            # Only count patience when a val measurement exists: with an
+            # empty val set (--val_split 0) there is no signal, so early
+            # stopping must never fire. (The reference would ZeroDivisionError
+            # here, src/shakespeare.py:281; neither stopping nor crashing is
+            # right.)
             patience_counter += 1
             if patience_counter >= patience:
                 log_fn(
@@ -647,6 +747,7 @@ def train(
             extra={"final_training": True},
             tokenizer_state=tokenizer_state,
             parameterization=parameterization,
+            self_cond=cfg.self_cond,
         ),
         final_ckpt_path,
     )
