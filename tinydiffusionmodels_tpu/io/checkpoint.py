@@ -100,6 +100,11 @@ def transformer_to_state_dict(params: dict) -> "OrderedDict[str, np.ndarray]":
     sd: "OrderedDict[str, np.ndarray]" = OrderedDict()
     sd["time_emb.weight"] = _np(params["time_emb"]["w"]).T
     sd["time_emb.bias"] = _np(params["time_emb"]["b"])
+    if "selfcond_proj" in params:
+        # Framework extension (self-conditioning); torch-style names so the
+        # checkpoint stays loadable as a plain state_dict.
+        sd["selfcond_proj.weight"] = _np(params["selfcond_proj"]["w"]).T
+        sd["selfcond_proj.bias"] = _np(params["selfcond_proj"]["b"])
     for i, layer in enumerate(params["layers"]):
         pre = f"encoder.layers.{i}"
         attn = layer["self_attn"]
@@ -163,13 +168,19 @@ def transformer_from_state_dict(sd: dict) -> dict:
                 },
             }
         )
-    return {
+    params = {
         "time_emb": {
             "w": jnp.asarray(_np(sd["time_emb.weight"]).T),
             "b": jnp.asarray(_np(sd["time_emb.bias"])),
         },
         "layers": tuple(layers),
     }
+    if "selfcond_proj.weight" in sd:
+        params["selfcond_proj"] = {
+            "w": jnp.asarray(_np(sd["selfcond_proj.weight"]).T),
+            "b": jnp.asarray(_np(sd["selfcond_proj.bias"])),
+        }
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,12 @@ class TransformerConfig:
     # axis (ops.register_sequence_mesh must have registered it). None =
     # single-chip attention (flash/XLA via the ops registry).
     seq_axis: str | None = None
+    # Self-conditioning (Analog Bits, Chen et al. 2022 — PAPERS.md): feed
+    # the previous x0 estimate back as an extra input through a zero-init
+    # projection. Framework extension beyond the reference denoiser
+    # (src/shakespeare.py:105-120); the biggest known quality lever for
+    # embedding-space text diffusion after x0 parameterization.
+    self_cond: bool = False
 
 
 def _init_layer(key: jax.Array, cfg: TransformerConfig) -> dict:
@@ -74,10 +80,20 @@ def _init_layer(key: jax.Array, cfg: TransformerConfig) -> dict:
 
 def init_tiny_transformer(key: jax.Array, cfg: TransformerConfig) -> dict:
     keys = jax.random.split(key, cfg.depth + 1)
-    return {
+    params = {
         "time_emb": linear_params(keys[0], 1, cfg.dim),
         "layers": tuple(_init_layer(k, cfg) for k in keys[1:]),
     }
+    if cfg.self_cond:
+        # Zero-init: with no previous estimate (or at the start of
+        # training) the self-conditioned model computes exactly the same
+        # function as the unconditioned one, so enabling the flag never
+        # regresses the t=first-pass behavior.
+        params["selfcond_proj"] = {
+            "w": jnp.zeros((cfg.dim, cfg.dim)),
+            "b": jnp.zeros((cfg.dim,)),
+        }
+    return params
 
 
 def _mha(
@@ -146,17 +162,28 @@ def tiny_transformer_apply(
     *,
     deterministic: bool = True,
     key: jax.Array | None = None,
+    x0_prev: jax.Array | None = None,
 ) -> jax.Array:
     """x: (B, L, dim) noisy embeddings; t: (B,) int timesteps -> eps_hat.
 
     Mirrors reference src/shakespeare.py:115-120: additive time bias, input
     dropout, then the encoder stack.
+
+    ``x0_prev``: previous clean-embedding estimate for self-conditioning
+    (cfg.self_cond=True); None means "no estimate" (the zeros channel).
     """
     if not deterministic and key is None:
         raise ValueError("training mode requires a PRNG key")
     t_scaled = (t.astype(x.dtype) / cfg.timesteps)[:, None]      # (B, 1)
     time_bias = linear_apply(params["time_emb"], t_scaled)[:, None, :]
     x = x + time_bias
+    if cfg.self_cond:
+        if x0_prev is not None:
+            x = x + linear_apply(
+                params["selfcond_proj"], x0_prev.astype(x.dtype)
+            )
+    elif x0_prev is not None:
+        raise ValueError("x0_prev passed but cfg.self_cond is False")
     x = dropout(
         None if deterministic else substream(key, "input_dropout"),
         x, cfg.dropout, deterministic=deterministic,

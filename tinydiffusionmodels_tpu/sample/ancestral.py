@@ -8,7 +8,9 @@ and the t==0 noise-skip is a masked elementwise select — the north-star
 "HBM-resident 1000-step sampler" (BASELINE.json).
 
 Also provides strided DDIM sampling (fewer steps, same trained model) as the
-framework's accelerated path.
+framework's accelerated path, and a self-conditioning carry
+(``self_cond=True``): the denoiser's x0 estimate from step k is fed back as
+an input at step k+1 (Analog Bits, Chen et al. 2022 — PAPERS.md).
 """
 
 from __future__ import annotations
@@ -34,10 +36,13 @@ def sample_loop(
     num_steps: int | None = None,
     eta: float = 0.0,
     dtype=jnp.float32,
+    self_cond: bool = False,
 ) -> jax.Array:
     """Run the full reverse process from N(0, I) noise.
 
-    denoise_fn: (x_t, t) -> eps_hat (already closed over params).
+    denoise_fn: (x_t, t) -> eps_hat (already closed over params); with
+    ``self_cond=True`` the signature is (x_t, t, x0_prev) -> (eps_hat,
+    x0_est) and x0_est is carried to the next step (zeros at the first).
     method 'ancestral': DDPM, always sched.timesteps steps (reference parity).
     method 'ddim': ``num_steps`` strided DDIM steps (default 50).
     method 'dpm++': DPM-Solver++(2M), ``num_steps`` steps (default 20).
@@ -46,18 +51,32 @@ def sample_loop(
     x0 = jax.random.normal(init_key, shape, dtype=dtype)
     batch = shape[0]
 
+    if self_cond:
+        sc0 = jnp.zeros(shape, dtype=dtype)
+
+        def call(x, t_b, sc):
+            return denoise_fn(x, t_b, sc)
+    else:
+        # Scalar zero passthrough: keeps the scan carry structure uniform
+        # at no cost (XLA carries one scalar).
+        sc0 = jnp.zeros((), dtype=dtype)
+
+        def call(x, t_b, sc):
+            return denoise_fn(x, t_b), sc
+
     if method == "ancestral":
         ts = jnp.arange(sched.timesteps - 1, -1, -1)
 
-        def step(x, t):
+        def step(carry, t):
+            x, sc = carry
             t_b = jnp.full((batch,), t, dtype=jnp.int32)
-            eps = denoise_fn(x, t_b)
+            eps, sc = call(x, t_b, sc)
             x = p_sample(sched, x, t_b, eps, jax.random.fold_in(loop_key, t))
-            return x, None
+            return (x, sc), None
 
         # unroll=2: +5% on the latency-bound small-denoiser (text) sampler,
         # neutral on the compute-bound UNet sampler (measured on v5e).
-        x, _ = jax.lax.scan(step, x0, ts, unroll=2)
+        (x, _), _ = jax.lax.scan(step, (x0, sc0), ts, unroll=2)
         return x
 
     if method == "dpm++":
@@ -78,10 +97,10 @@ def sample_loop(
             return v.reshape(*([1] * len(shape)))
 
         def dstep(carry, i):
-            x, x0_prev, h_prev = carry
+            x, x0_prev, h_prev, sc = carry
             t_cur = ts[i]
             t_b = jnp.full((batch,), t_cur, dtype=jnp.int32)
-            eps = denoise_fn(x, t_b)
+            eps, sc = call(x, t_b, sc)
             a_cur, s_cur = bshape(alphas[i]), bshape(sigmas[i])
             a_nxt, s_nxt = bshape(alphas[i + 1]), bshape(sigmas[i + 1])
             x0 = (x - s_cur * eps) / a_cur
@@ -92,11 +111,11 @@ def sample_loop(
             r_safe = jnp.where(i > 0, r, 1.0)
             d = x0 + use_2m * (0.5 / r_safe) * (x0 - x0_prev)
             x_next = (s_nxt / s_cur) * x - a_nxt * jnp.expm1(-h) * d
-            return (x_next, x0, h), None
+            return (x_next, x0, h, sc), None
 
-        (x, _, _), _ = jax.lax.scan(
-            dstep, (x0, jnp.zeros_like(x0), jnp.zeros(())), jnp.arange(n),
-            unroll=2,
+        (x, _, _, _), _ = jax.lax.scan(
+            dstep, (x0, jnp.zeros_like(x0), jnp.zeros(()), sc0),
+            jnp.arange(n), unroll=2,
         )
         return x
 
@@ -107,19 +126,20 @@ def sample_loop(
         ts = jnp.linspace(0, sched.timesteps - 1, n).round().astype(jnp.int32)[::-1]
         ts_prev = jnp.concatenate([ts[1:], jnp.array([-1], dtype=jnp.int32)])
 
-        def dstep(x, tt):
+        def dstep(carry, tt):
+            x, sc = carry
             t, t_prev = tt
             t_b = jnp.full((batch,), t, dtype=jnp.int32)
             tp_b = jnp.full((batch,), t_prev, dtype=jnp.int32)
-            eps = denoise_fn(x, t_b)
+            eps, sc = call(x, t_b, sc)
             x = ddim_step(
                 sched, x, t_b, tp_b, eps,
                 eta=eta,
                 key=jax.random.fold_in(loop_key, t) if eta > 0 else None,
             )
-            return x, None
+            return (x, sc), None
 
-        x, _ = jax.lax.scan(dstep, x0, (ts, ts_prev), unroll=2)
+        (x, _), _ = jax.lax.scan(dstep, (x0, sc0), (ts, ts_prev), unroll=2)
         return x
 
     raise ValueError(f"unknown sampling method: {method!r}")

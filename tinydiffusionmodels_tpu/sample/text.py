@@ -40,14 +40,25 @@ def make_denoiser(
 
     "eps" is the reference's choice (src/shakespeare.py:232-236); "x0" is
     the original Diffusion-LM parameterization (model predicts the clean
-    embeddings; converted to eps so every sampler works unchanged)."""
-    from tinydiffusionmodels_tpu.core.diffusion import eps_from_x0
+    embeddings; converted to eps so every sampler works unchanged).
 
-    def denoise(x, t):
-        pred = tiny_transformer_apply(diff_params, x, t, cfg)
+    When ``cfg.self_cond``, the returned function is (x, t, x0_prev) ->
+    (eps, x0_est) for sample_loop's self-conditioning carry."""
+    from tinydiffusionmodels_tpu.core.diffusion import _bcast, eps_from_x0
+
+    def denoise(x, t, x0_prev=None):
+        pred = tiny_transformer_apply(diff_params, x, t, cfg, x0_prev=x0_prev)
         if parameterization == "x0":
-            return eps_from_x0(sched, x, t, pred)
-        return pred
+            eps = eps_from_x0(sched, x, t, pred)
+            x0_est = pred
+        else:
+            eps = pred
+            sqrt_acp = _bcast(sched.sqrt_alphas_cumprod, t, x.ndim)
+            sqrt_om = _bcast(sched.sqrt_one_minus_alphas_cumprod, t, x.ndim)
+            x0_est = (x - sqrt_om * pred) / sqrt_acp
+        if cfg.self_cond:
+            return eps, x0_est
+        return eps
 
     return denoise
 
@@ -71,12 +82,14 @@ def make_clamped_denoiser(
     Not present in the reference implementation (its sampler runs raw
     ancestral steps, src/shakespeare.py:343-352) — an addition from the
     Diffusion-LM paper the reference is based on. Returns a (x, t) -> eps
-    function usable by any sampler in sample/ancestral.py.
+    function usable by any sampler in sample/ancestral.py; with
+    ``cfg.self_cond`` it is (x, t, x0_prev) -> (eps, x0_clamped) so the
+    *clamped* estimate (the one the sampler uses) feeds the next step.
     """
     from tinydiffusionmodels_tpu.core.diffusion import _bcast
 
-    def denoise(x, t):
-        pred = tiny_transformer_apply(diff_params, x, t, cfg)
+    def denoise(x, t, x0_prev=None):
+        pred = tiny_transformer_apply(diff_params, x, t, cfg, x0_prev=x0_prev)
         sqrt_acp = _bcast(sched.sqrt_alphas_cumprod, t, x.ndim)
         sqrt_om = _bcast(sched.sqrt_one_minus_alphas_cumprod, t, x.ndim)
         if parameterization == "x0":
@@ -89,7 +102,10 @@ def make_clamped_denoiser(
             logits = cosine_logits(embedding_table, x0)
         tokens = jnp.argmax(logits, axis=-1)
         x0_clamped = jnp.take(embedding_table, tokens, axis=0)
-        return (x - sqrt_acp * x0_clamped) / sqrt_om
+        eps = (x - sqrt_acp * x0_clamped) / sqrt_om
+        if cfg.self_cond:
+            return eps, x0_clamped
+        return eps
 
     return denoise
 
@@ -114,7 +130,7 @@ def sample_diffusion_embeddings(
     return jax.jit(
         lambda k: sample_loop(
             denoise, sched, (n, seq_len, embed_dim), k,
-            method=method, num_steps=num_steps,
+            method=method, num_steps=num_steps, self_cond=cfg.self_cond,
         )
     )(key)
 
@@ -173,7 +189,7 @@ def sample_text(
         x = jax.jit(
             lambda k: sample_loop(
                 denoise, sched, (n_samples, seq_len, embed_dim), k,
-                method=method, num_steps=num_steps,
+                method=method, num_steps=num_steps, self_cond=cfg.self_cond,
             )
         )(key)
     else:

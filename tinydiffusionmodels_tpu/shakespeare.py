@@ -89,6 +89,20 @@ def build_parser() -> argparse.ArgumentParser:
                         help="denoiser output: eps (reference) or x0 "
                              "(original Diffusion-LM; samplers auto-detect "
                              "from the checkpoint)")
+    parser.add_argument("--self_cond", action="store_true",
+                        help="self-conditioning: feed the previous x0 "
+                             "estimate back into the denoiser (Analog Bits "
+                             "style; samplers auto-detect from the "
+                             "checkpoint)")
+    parser.add_argument("--clamp_train", action="store_true",
+                        help="clamp-aware training: add a straight-through "
+                             "loss term against the nearest-embedding "
+                             "clamped prediction the sampler uses "
+                             "(requires --parameterization x0)")
+    parser.add_argument("--depth", type=int, default=3,
+                        help="denoiser encoder layers (reference hardcodes "
+                             "3, src/shakespeare.py:106; sampling infers "
+                             "depth from the checkpoint)")
     parser.add_argument("--ema_decay", type=float, default=None,
                         help="EMA of the joint weights (e.g. 0.999); "
                              "val/best/final checkpoints use the EMA "
@@ -276,8 +290,9 @@ def main(argv=None) -> None:
         print(f"[parallel] sequence-parallel over {train_mesh.shape['seq']} "
               "devices (ring attention)")
     cfg = TransformerConfig(
-        dim=embed_dim, n_heads=4, depth=3, dropout=args.dropout,
+        dim=embed_dim, n_heads=4, depth=args.depth, dropout=args.dropout,
         timesteps=sched.timesteps, seq_axis=seq_axis,
+        self_cond=args.self_cond,
     )
     diff_params = init_tiny_transformer(substream(key, "diffusion"), cfg)
     rounding_params = init_learned_rounding(
@@ -322,6 +337,7 @@ def main(argv=None) -> None:
             compute_dtype=resolve_compute_dtype(args.dtype),
             ema_decay=args.ema_decay,
             parameterization=args.parameterization,
+            clamp_train=args.clamp_train,
         )
         diff_params = final["diffusion_model"]
         rounding_params = final["rounding_fn"]
@@ -337,6 +353,16 @@ def main(argv=None) -> None:
                 print(f"[ckpt] parameterization="
                       f"{checkpoint['parameterization']} (from checkpoint)")
             args.parameterization = checkpoint["parameterization"]
+        if isinstance(checkpoint, dict):
+            ckpt_sc = bool(checkpoint.get("self_cond")) or (
+                isinstance(checkpoint.get("diffusion_model"), dict)
+                and "selfcond_proj.weight" in checkpoint["diffusion_model"]
+            )
+            if ckpt_sc != cfg.self_cond:
+                print(f"[ckpt] self_cond={ckpt_sc} (from checkpoint)")
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, self_cond=ckpt_sc)
         if isinstance(checkpoint, dict) and "diffusion_model" in checkpoint:
             diff_params = transformer_from_state_dict(
                 checkpoint["diffusion_model"]
