@@ -1,7 +1,7 @@
 """Pallas TPU kernels for the hot ops.
 
 Same signatures as ops/xla_ref.py (the semantics contract); the registry
-falls back to XLA for cases a kernel doesn't cover (masks, dropout). Each
+falls back to XLA for cases a kernel doesn't cover (arbitrary masks). Each
 kernel is correctness-diffed against the XLA reference in tests/test_ops.py
 (interpreter mode on CPU, compiled on TPU).
 
@@ -12,7 +12,9 @@ Kernels:
   no dropout); L and Dh are padded to TPU tiles by the compiler.
 - ``flash_attention``: unrolled tiled online-softmax attention with real
   Pallas recompute backward kernels (dq + dkv from the saved logsumexp) —
-  O(L) memory for forward AND training.
+  O(L) memory for forward AND training, including torch-semantics
+  attention-weight dropout via a coordinate-hash mask (_dropout_scale)
+  that the backward kernels regenerate without materializing it.
 - ``fused_resblock``: the ENTIRE UNet residual block
   (conv3x3 -> bias -> relu -> +time-bias -> conv3x3 -> bias -> relu -> +skip)
   as one kernel per batch chunk; 3x3 taps are static slices of the
@@ -170,8 +172,9 @@ _attention_diffable.defvjp(_attention_diffable_fwd, _attention_diffable_bwd)
 def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
               dropout_key=None):
     """Fused attention over (B, H, L, Dh). Falls back to the XLA reference
-    for masked or dropout attention (training / causal decode)."""
-    if mask is not None or dropout_rate > 0.0:
+    for arbitrary-mask attention (causal decode goes through the registry's
+    tril mask)."""
+    if mask is not None:
         return xla_ref.attention(
             q, k, v, mask=mask, dropout_rate=dropout_rate,
             dropout_key=dropout_key,
@@ -182,20 +185,56 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
     # footprint spills to HBM, the unrolled flash kernel wins (B8/L1024:
     # XLA 571us vs flash ~190us; B2/L2048: 556us vs 177us). Threshold set
     # between the measured B4/L1024=64MB (XLA fast) and B8/L1024=128MB
-    # (XLA spilled) points. Flash also keeps O(L) memory for any length.
+    # (XLA spilled) points. Flash also keeps O(L) memory for any length —
+    # including training with the reference's attention-weight dropout
+    # (coordinate-hash mask regenerated in the recompute backward).
     b, h, l, dh = q.shape
     score_bytes = b * h * l * l * 4
     if score_bytes <= 96 * 1024 * 1024:
-        return xla_ref.attention(q, k, v)
-    return flash_attention(q, k, v)
+        return xla_ref.attention(
+            q, k, v, dropout_rate=dropout_rate, dropout_key=dropout_key
+        )
+    return flash_attention(
+        q, k, v, dropout_rate=dropout_rate, dropout_key=dropout_key
+    )
 
 
 # ---------------------------------------------------------------------------
 # Flash (tiled) attention for long sequences
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                  block_k: int, seq_len: int, causal: bool):
+def _dropout_scale(seed, bh, q_pos, k_pos, rate: float):
+    """Counter-based dropout mask: 0 or 1/(1-rate) per attention weight.
+
+    A murmur3-finalizer hash of (seed, batch*head, global q row, global k
+    col) — pure uint32 VPU ops, so the forward and both recompute backward
+    kernels regenerate the IDENTICAL mask from coordinates alone (no (L, L)
+    mask materialization in HBM, no TPU-only PRNG primitives; works in
+    Mosaic and in the CPU interpreter alike). Not crypto-grade; dropout
+    needs uniformity, not unpredictability.
+
+    seed: int32 scalar; bh: int32 program id; q_pos/k_pos: (bq, bk) int32
+    global coordinates.
+    """
+    h = (
+        q_pos.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        + k_pos.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+        + jnp.uint32(bh) * jnp.uint32(0xC2B2AE35)
+        + seed.astype(jnp.uint32)
+    )
+    # murmur3 fmix32
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    keep = h >= jnp.uint32(min(int(rate * 2**32), 2**32 - 1))
+    return jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)), jnp.float32(0.0))
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, *,
+                  scale: float, block_k: int, seq_len: int, causal: bool,
+                  dropout_rate: float):
     """Online-softmax attention over KV tiles.
 
     Grid: (BH, num_q_blocks). Each step holds one q tile (block_q, dh) in
@@ -209,15 +248,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
     4.5x faster than the fori_loop + dynamic-slice form (556us XLA /
     789us fori / 177us unrolled at B2H4 L2048 on v5e). Causal masking is
     by predicate only; the ~2x tile waste is cheaper than dynamic bounds.
+
+    ``dropout_rate``: torch-semantics attention-weight dropout (reference
+    src/shakespeare.py:108-111 — dropped AFTER softmax, so the normalizer l
+    sums the UNDROPPED weights; only the value accumulation sees the
+    dropped/rescaled mask). The mask is regenerated from coordinates via
+    _dropout_scale — O(L) memory holds.
     """
     q = q_ref[0] * scale  # (block_q, dh)
     block_q, dh = q.shape
     qi = pl.program_id(1)
     num_kv = k_ref.shape[1] // block_k
+    q_off, k_off = seed_ref[1], seed_ref[2]  # global offsets (ring blocks)
 
     m = jnp.full((block_q, 1), jnp.finfo(jnp.float32).min)
     l = jnp.zeros((block_q, 1), jnp.float32)
-    acc = jnp.zeros((block_q, dh), jnp.float32)
+    acc = jnp.zeros((block_q, v_ref.shape[-1]), jnp.float32)
     for ki in range(num_kv):
         k = k_ref[0, ki * block_k:(ki + 1) * block_k, :]  # (block_k, dh)
         v = v_ref[0, ki * block_k:(ki + 1) * block_k, :]
@@ -229,51 +275,108 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
             jnp.int32, (block_q, block_k), 1
         )
         valid = k_pos < seq_len  # mask zero-padded key rows in the last tile
+        q_pos = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0
+        )
         if causal:
-            q_pos = qi * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            valid = jnp.logical_and(valid, q_pos >= k_pos)
+            # Global positions: offsets are 0 standalone; under the ring
+            # they locate this device's q shard / the in-flight KV shard.
+            valid = jnp.logical_and(valid, q_off + q_pos >= k_off + k_pos)
         s = jnp.where(valid, s, jnp.finfo(jnp.float32).min)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         correction = jnp.exp(m - m_new)
         l = correction * l + jnp.sum(p, axis=-1, keepdims=True)
+        pv = p
+        if dropout_rate > 0.0:
+            pv = p * _dropout_scale(
+                seed_ref[0], pl.program_id(0), q_off + q_pos, k_off + k_pos,
+                dropout_rate,
+            )
         acc = correction * acc + jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            pv.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         m = m_new
     o_ref[0] = (acc / l).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(l)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_attention_diffable(q, k, v, causal, block_q, block_k):
-    out, _ = _flash_attention_impl(q, k, v, causal=causal, block_q=block_q,
-                                   block_k=block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention_diffable(q, k, v, sc, causal, block_q, block_k,
+                              dropout_rate):
+    out, _ = _flash_attention_impl(q, k, v, sc, causal=causal,
+                                   block_q=block_q, block_k=block_k,
+                                   dropout_rate=dropout_rate)
     return out
 
 
-def _flash_attention_fwd(q, k, v, causal, block_q, block_k):
-    out, lse = _flash_attention_impl(q, k, v, causal=causal, block_q=block_q,
-                                     block_k=block_k)
-    return out, (q, k, v, out, lse)
+def _flash_attention_fwd(q, k, v, sc, causal, block_q, block_k,
+                         dropout_rate):
+    out, lse = _flash_attention_impl(q, k, v, sc, causal=causal,
+                                     block_q=block_q, block_k=block_k,
+                                     dropout_rate=dropout_rate)
+    return out, (q, k, v, sc, out, lse)
 
 
-def _flash_attention_bwd(causal, block_q, block_k, residuals, g):
-    q, k, v, out, lse = residuals
-    return _flash_bwd_impl(q, k, v, out, lse, g, causal=causal,
-                           block_q=block_q, block_k=block_k)
+def _flash_attention_bwd(causal, block_q, block_k, dropout_rate, residuals,
+                         g):
+    q, k, v, sc, out, lse = residuals
+    dq, dk, dv = _flash_bwd_impl(q, k, v, sc, out, lse, g, causal=causal,
+                                 block_q=block_q, block_k=block_k,
+                                 dropout_rate=dropout_rate)
+    # int32 scalars have no tangent space: float0 cotangent.
+    dsc = np.zeros(sc.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dsc
 
 
 _flash_attention_diffable.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
-def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref, *,
-                     scale: float, block_k: int, seq_len: int, causal: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention_lse_diffable(q, k, v, sc, causal, block_q, block_k,
+                                  dropout_rate):
+    """(out, lse) variant for composition (ring attention merges partials
+    via the logsumexp). The lse cotangent folds into the backward's D term:
+    d(lse_i)/d(s_ij) = P_ij, so ds = p*(mask*dp - (D - g_lse)) — the
+    kernels run unchanged with D := D - g_lse."""
+    return _flash_attention_impl(q, k, v, sc, causal=causal,
+                                 block_q=block_q, block_k=block_k,
+                                 dropout_rate=dropout_rate)
+
+
+def _flash_attention_lse_fwd(q, k, v, sc, causal, block_q, block_k,
+                             dropout_rate):
+    out, lse = _flash_attention_impl(q, k, v, sc, causal=causal,
+                                     block_q=block_q, block_k=block_k,
+                                     dropout_rate=dropout_rate)
+    return (out, lse), (q, k, v, sc, out, lse)
+
+
+def _flash_attention_lse_bwd(causal, block_q, block_k, dropout_rate,
+                             residuals, g):
+    q, k, v, sc, out, lse = residuals
+    g_out, g_lse = g
+    dq, dk, dv = _flash_bwd_impl(q, k, v, sc, out, lse, g_out,
+                                 causal=causal, block_q=block_q,
+                                 block_k=block_k,
+                                 dropout_rate=dropout_rate, g_lse=g_lse)
+    dsc = np.zeros(sc.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, dsc
+
+
+_flash_attention_lse_diffable.defvjp(_flash_attention_lse_fwd,
+                                     _flash_attention_lse_bwd)
+
+
+def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, seed_ref,
+                     dq_ref, *, scale: float, block_k: int, seq_len: int,
+                     causal: bool, dropout_rate: float):
     """dq for one q tile: stream KV tiles, recompute p from q,k and the
-    saved logsumexp; ds = p * (dO v^T - D); dq += ds k * scale. O(L) memory
-    (FlashAttention backward, recompute form)."""
+    saved logsumexp; ds = p * (mask*dp - D); dq += ds k * scale. O(L)
+    memory (FlashAttention backward, recompute form). The dropout mask is
+    regenerated coordinate-wise (_dropout_scale) so it matches the forward
+    exactly; D = rowsum(dO*O) already includes the mask through O, so only
+    dp needs the explicit factor (torch dropout-after-softmax calculus)."""
     q = q_ref[0]                       # (block_q, dh)
     do = do_ref[0]
     lse = lse_ref[0]                   # (block_q, 1)
@@ -281,6 +384,7 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref, *,
     block_q, dh = q.shape
     qi = pl.program_id(1)
     num_kv = k_ref.shape[1] // block_k
+    q_off, k_off = seed_ref[1], seed_ref[2]
     q_pos = qi * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0
     )
@@ -300,29 +404,37 @@ def _flash_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, dq_ref, *,
         )
         valid = k_pos < seq_len
         if causal:
-            valid = jnp.logical_and(valid, q_pos >= k_pos)
+            valid = jnp.logical_and(valid, q_off + q_pos >= k_off + k_pos)
         p = jnp.where(valid, jnp.exp(s - lse), 0.0)
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if dropout_rate > 0.0:
+            dp = dp * _dropout_scale(
+                seed_ref[0], pl.program_id(0), q_off + q_pos, k_off + k_pos,
+                dropout_rate,
+            )
         ds = p * (dp - d)
         dq = dq + jnp.dot(ds.astype(k.dtype), k,
                           preferred_element_type=jnp.float32)
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
-def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
+def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref, seed_ref,
                       dk_ref, dv_ref, *, scale: float, block_q: int,
-                      seq_len: int, causal: bool):
-    """dk/dv for one KV tile: stream q tiles; dv += p^T dO;
-    dk += (p * (dO v^T - D))^T q * scale."""
+                      seq_len_q: int, seq_len_k: int, causal: bool,
+                      dropout_rate: float):
+    """dk/dv for one KV tile: stream q tiles; dv += (mask*p)^T dO;
+    dk += (p * (mask*(dO v^T) - D))^T q * scale (see _flash_dq_kernel for
+    the dropout calculus)."""
     k = k_ref[0]                       # (block_k, dh)
     v = v_ref[0]
     block_k, dh = k.shape
     ki = pl.program_id(1)
     lp = q_ref.shape[1]
     num_q = lp // block_q
+    q_off, k_off = seed_ref[1], seed_ref[2]
     k_pos = ki * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1
     )
@@ -330,7 +442,7 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
     # Static unrolled q walk (see _flash_kernel); the causal predicate
     # zeroes tiles below this KV tile's diagonal.
     dk = jnp.zeros((block_k, dh), jnp.float32)
-    dv = jnp.zeros((block_k, dh), jnp.float32)
+    dv = jnp.zeros((block_k, v.shape[-1]), jnp.float32)
     for qi in range(num_q):
         q = q_ref[0, qi * block_q:(qi + 1) * block_q, :]
         do = do_ref[0, qi * block_q:(qi + 1) * block_q, :]
@@ -343,19 +455,29 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
         q_pos = qi * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 0
         )
-        valid = jnp.logical_and(q_pos < seq_len, k_pos < seq_len)
+        valid = jnp.logical_and(q_pos < seq_len_q, k_pos < seq_len_k)
         if causal:
-            valid = jnp.logical_and(valid, q_pos >= k_pos)
+            valid = jnp.logical_and(valid, q_off + q_pos >= k_off + k_pos)
         p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        if dropout_rate > 0.0:
+            dmask = _dropout_scale(
+                seed_ref[0], pl.program_id(0), q_off + q_pos, k_off + k_pos,
+                dropout_rate,
+            )
+            pv = p * dmask
+        else:
+            pv = p
         dv = dv + jax.lax.dot_general(
-            p.astype(do.dtype), do,
-            dimension_numbers=(((0,), (0,)), ((), ())),  # p^T @ dO
+            pv.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),  # (mask*p)^T @ dO
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if dropout_rate > 0.0:
+            dp = dp * dmask
         ds = p * (dp - d)
         dk = dk + jax.lax.dot_general(
             ds.astype(q.dtype), q,
@@ -366,39 +488,48 @@ def _flash_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, d_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _flash_bwd_impl(q, k, v, out, lse, g, *, causal: bool, block_q: int,
-                    block_k: int):
+def _flash_bwd_impl(q, k, v, seed, out, lse, g, *, causal: bool,
+                    block_q: int, block_k: int, dropout_rate: float,
+                    g_lse=None):
     """O(L)-memory flash backward: one dq kernel + one dkv kernel, both
-    recomputing p from the saved logsumexp (no (L, L) materialization)."""
-    b, h, l, dh = q.shape
-    block_q = min(block_q, max(8, l))
-    block_k = min(block_k, max(8, l))
-    pad = max((-l) % block_q, (-l) % block_k)
-    padding = [(0, 0), (0, 0), (0, pad), (0, 0)]
-    dpad = [(0, 0), (0, 0), (0, pad)]
+    recomputing p from the saved logsumexp (no (L, L) materialization).
+    ``g_lse``: cotangent of the lse output (lse-carrying variant); folds
+    into the D term (see _flash_attention_lse_diffable)."""
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]
+    dvw = v.shape[-1]  # v/output feature width (may differ from dh)
+    block_q = min(block_q, max(8, lq))
+    block_k = min(block_k, max(8, lk))
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
     # D = rowsum(dO * O): cheap elementwise+reduce, fused by XLA.
     d = jnp.sum(g * out, axis=-1)
-    if pad:
-        q = jnp.pad(q, padding)
-        k = jnp.pad(k, padding)
-        v = jnp.pad(v, padding)
-        g = jnp.pad(g, padding)
-        lse = jnp.pad(lse, dpad)
-        d = jnp.pad(d, dpad)
-    lp = l + pad
+    if g_lse is not None:
+        d = d - g_lse
+    if pad_q:
+        qpad = [(0, 0), (0, 0), (0, pad_q), (0, 0)]
+        q = jnp.pad(q, qpad)
+        g = jnp.pad(g, qpad)
+        lse = jnp.pad(lse, [(0, 0), (0, 0), (0, pad_q)])
+        d = jnp.pad(d, [(0, 0), (0, 0), (0, pad_q)])
+    if pad_k:
+        kpad = [(0, 0), (0, 0), (0, pad_k), (0, 0)]
+        k = jnp.pad(k, kpad)
+        v = jnp.pad(v, kpad)
+    lpq = lq + pad_q
+    lpk = lk + pad_k
     bh = b * h
-    qf = q.reshape(bh, lp, dh)
-    kf = k.reshape(bh, lp, dh)
-    vf = v.reshape(bh, lp, dh)
-    gf = g.reshape(bh, lp, dh)
-    lsef = lse.reshape(bh, lp, 1)
-    df = d.reshape(bh, lp, 1)
+    qf = q.reshape(bh, lpq, dh)
+    kf = k.reshape(bh, lpk, dh)
+    vf = v.reshape(bh, lpk, dvw)
+    gf = g.reshape(bh, lpq, dvw)
+    lsef = lse.reshape(bh, lpq, 1)
+    df = d.reshape(bh, lpq, 1)
     scale = 1.0 / float(np.sqrt(dh))
 
-    row_specs = [
-        pl.BlockSpec((1, lp, dh), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    def row_spec(cols, rows):
+        return pl.BlockSpec((1, rows, cols), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     def tile_spec(cols):
         return pl.BlockSpec((1, block_q, cols), lambda i, j: (i, j, 0),
@@ -406,20 +537,22 @@ def _flash_bwd_impl(q, k, v, out, lse, g, *, causal: bool, block_q: int,
 
     dq = pl.pallas_call(
         functools.partial(_flash_dq_kernel, scale=scale, block_k=block_k,
-                          seq_len=l, causal=causal),
-        grid=(bh, lp // block_q),
+                          seq_len=lk, causal=causal,
+                          dropout_rate=dropout_rate),
+        grid=(bh, lpq // block_q),
         in_specs=[
             tile_spec(dh),        # q tile
-            row_specs[0],         # k rows
-            row_specs[0],         # v rows
-            tile_spec(dh),        # dO tile
+            row_spec(dh, lpk),    # k rows
+            row_spec(dvw, lpk),   # v rows
+            tile_spec(dvw),       # dO tile
             tile_spec(1),         # lse tile
             tile_spec(1),         # D tile
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dropout seed
         ],
         out_specs=tile_spec(dh),
-        out_shape=jax.ShapeDtypeStruct((bh, lp, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, lpq, dh), q.dtype),
         interpret=_interpret(),
-    )(qf, kf, vf, gf, lsef, df)
+    )(qf, kf, vf, gf, lsef, df, seed)
 
     def ktile_spec(cols):
         return pl.BlockSpec((1, block_k, cols), lambda i, j: (i, j, 0),
@@ -427,34 +560,35 @@ def _flash_bwd_impl(q, k, v, out, lse, g, *, causal: bool, block_q: int,
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_dkv_kernel, scale=scale, block_q=block_q,
-                          seq_len=l, causal=causal),
-        grid=(bh, lp // block_k),
+                          seq_len_q=lq, seq_len_k=lk, causal=causal,
+                          dropout_rate=dropout_rate),
+        grid=(bh, lpk // block_k),
         in_specs=[
-            row_specs[0],         # q rows
+            row_spec(dh, lpq),    # q rows
             ktile_spec(dh),       # k tile
-            ktile_spec(dh),       # v tile
-            row_specs[0],         # dO rows
-            pl.BlockSpec((1, lp, 1), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # lse rows
-            pl.BlockSpec((1, lp, 1), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # D rows
+            ktile_spec(dvw),      # v tile
+            row_spec(dvw, lpq),   # dO rows
+            row_spec(1, lpq),     # lse rows
+            row_spec(1, lpq),     # D rows
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dropout seed
         ],
-        out_specs=(ktile_spec(dh), ktile_spec(dh)),
+        out_specs=(ktile_spec(dh), ktile_spec(dvw)),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, lp, dh), k.dtype),
-            jax.ShapeDtypeStruct((bh, lp, dh), v.dtype),
+            jax.ShapeDtypeStruct((bh, lpk, dh), k.dtype),
+            jax.ShapeDtypeStruct((bh, lpk, dvw), v.dtype),
         ),
         interpret=_interpret(),
-    )(qf, kf, vf, gf, lsef, df)
+    )(qf, kf, vf, gf, lsef, df, seed)
 
-    def unflat(a):
-        return a.reshape(b, h, lp, dh)[:, :, :l, :]
+    def unflat(a, w, ln):
+        return a.reshape(b, h, -1, w)[:, :, :ln, :]
 
-    return unflat(dq), unflat(dk), unflat(dv)
+    return unflat(dq, dh, lq), unflat(dk, dh, lk), unflat(dv, dvw, lk)
 
 
 def flash_attention(q, k, v, *, causal: bool = False, block_q: int = 128,
-                    block_k: int = 128):
+                    block_k: int = 128, dropout_rate: float = 0.0,
+                    dropout_key=None):
     """Tiled attention over (B, H, L, Dh); O(L) memory, arbitrary L.
 
     Parity contract: ops.xla_ref.attention with mask=None (or the causal
@@ -462,62 +596,112 @@ def flash_attention(q, k, v, *, causal: bool = False, block_q: int = 128,
     Differentiable: custom VJP runs Pallas recompute-form backward kernels
     (dq + dk/dv) from the saved logsumexp — O(L) memory in training too,
     no (L, L) materialization anywhere.
+
+    ``dropout_rate`` > 0 applies torch-semantics attention-weight dropout
+    (after softmax; normalizer on undropped weights — reference
+    src/shakespeare.py:108-111) with a coordinate-hash mask regenerated in
+    the backward kernels, so O(L)-memory training holds with the
+    reference's dropout. Masks are a different (counter-based) stream than
+    xla_ref's jax.random bernoulli — statistically equivalent, not
+    bit-identical.
     """
-    return _flash_attention_diffable(q, k, v, causal, block_q, block_k)
+    sc = _pack_scalars(dropout_rate, dropout_key, 0, 0)
+    return _flash_attention_diffable(q, k, v, sc, causal, block_q,
+                                     block_k, float(dropout_rate))
 
 
-def _flash_attention_impl(q, k, v, *, causal: bool, block_q: int,
-                          block_k: int):
-    b, h, l, dh = q.shape
-    block_q = min(block_q, max(8, l))
-    block_k = min(block_k, max(8, l))
-    pad = (-l) % block_q
-    pad_k = (-l) % block_k
-    pad = max(pad, pad_k)
-    if pad:
-        # Padded key rows are masked inside the kernel (k_pos < seq_len);
-        # padded query rows compute garbage and are sliced away below.
-        padding = [(0, 0), (0, 0), (0, pad), (0, 0)]
-        q = jnp.pad(q, padding)
-        k = jnp.pad(k, padding)
-        v = jnp.pad(v, padding)
-    lp = l + pad
+def _pack_scalars(dropout_rate, dropout_key, q_offset, k_offset):
+    """SMEM scalar block [dropout seed, global q offset, global k offset]."""
+    if dropout_rate > 0.0:
+        if dropout_key is None:
+            raise ValueError("dropout_rate > 0 requires dropout_key")
+        seed = jax.random.randint(
+            dropout_key, (1,), minval=jnp.iinfo(jnp.int32).min,
+            maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+        )[0]
+    else:
+        seed = jnp.int32(0)
+    return jnp.stack([
+        seed,
+        jnp.asarray(q_offset, jnp.int32),
+        jnp.asarray(k_offset, jnp.int32),
+    ])
+
+
+def flash_attention_with_lse(q, k, v, *, causal: bool = False,
+                             q_offset=0, k_offset=0, block_q: int = 128,
+                             block_k: int = 128, dropout_rate: float = 0.0,
+                             dropout_key=None):
+    """flash_attention returning (out, logsumexp) for partial-result
+    composition (ring attention, parallel/ring_attention.py).
+
+    ``q_offset``/``k_offset``: traced global positions of this q / KV block
+    — causal masking and the dropout hash use offset+local coordinates, so
+    ring-rotated KV shards mask and drop exactly as the equivalent
+    single-device call would. Fully differentiable in (q, k, v), including
+    through lse.
+    """
+    sc = _pack_scalars(dropout_rate, dropout_key, q_offset, k_offset)
+    return _flash_attention_lse_diffable(q, k, v, sc, causal, block_q,
+                                         block_k, float(dropout_rate))
+
+
+def _flash_attention_impl(q, k, v, seed, *, causal: bool, block_q: int,
+                          block_k: int, dropout_rate: float = 0.0):
+    b, h, lq, dh = q.shape
+    lk = k.shape[2]   # KV length may differ (ring blocks, cross-attention)
+    dv = v.shape[-1]  # v may be wider/narrower than q/k (output width)
+    block_q = min(block_q, max(8, lq))
+    block_k = min(block_k, max(8, lk))
+    pad_q = (-lq) % block_q
+    pad_k = (-lk) % block_k
+    if pad_q:
+        # Padded query rows compute garbage and are sliced away below.
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, pad_q), (0, 0)])
+    if pad_k:
+        # Padded key rows are masked inside the kernel (k_pos < seq_len).
+        k = jnp.pad(k, [(0, 0), (0, 0), (0, pad_k), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, pad_k), (0, 0)])
+    lpq = lq + pad_q
+    lpk = lk + pad_k
     bh = b * h
-    qf = q.reshape(bh, lp, dh)
-    kf = k.reshape(bh, lp, dh)
-    vf = v.reshape(bh, lp, dh)
+    qf = q.reshape(bh, lpq, dh)
+    kf = k.reshape(bh, lpk, dh)
+    vf = v.reshape(bh, lpk, dv)
 
     out, lse = pl.pallas_call(
         functools.partial(
             _flash_kernel,
             scale=1.0 / float(np.sqrt(dh)),
             block_k=block_k,
-            seq_len=l,  # true length: stops KV iteration at real rows
+            seq_len=lk,  # true KV length: masks zero-padded key rows
             causal=causal,
+            dropout_rate=dropout_rate,
         ),
-        grid=(bh, lp // block_q),
+        grid=(bh, lpq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, dh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, lpk, dh), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, dh), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, lpk, dv), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dropout seed
         ],
         out_specs=(
-            pl.BlockSpec((1, block_q, dh), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, block_q, dv), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, lp, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, lp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lpq, dv), q.dtype),
+            jax.ShapeDtypeStruct((bh, lpq, 1), jnp.float32),
         ),
         interpret=_interpret(),
-    )(qf, kf, vf)
-    out = out.reshape(b, h, lp, dh)[:, :, :l, :]
-    lse = lse.reshape(b, h, lp)[:, :, :l]
+    )(qf, kf, vf, seed)
+    out = out.reshape(b, h, lpq, dv)[:, :, :lq, :]
+    lse = lse.reshape(b, h, lpq)[:, :, :lq]
     return out, lse
 
 
