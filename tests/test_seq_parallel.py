@@ -294,3 +294,56 @@ class TestSeqParallelTraining:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
             )
+
+
+class TestFlashRingBlock:
+    """TDM_RING_BLOCK=flash: the ring's per-step block compute through the
+    lse-carrying Pallas flash kernel (VERDICT r2 item 4), exercised through
+    the ops routing and a full seq-parallel training gradient."""
+
+    def test_routing_env_knob(self, eight_devices, monkeypatch):
+        mesh = make_mesh()
+        ops.register_sequence_mesh(mesh, "data")
+        monkeypatch.setenv("TDM_RING_BLOCK", "flash")
+        q, k, v = _qkv(jax.random.PRNGKey(11), (1, 2, 64, 16))
+        out = ops.attention(q, k, v, seq_axis="data", causal=True)
+        mask = jnp.tril(jnp.ones((64, 64), bool))
+        ref = xla_ref.attention(q, k, v, mask=mask)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+    def test_training_gradients_equivalent(self, eight_devices, monkeypatch):
+        """Same training-step gradients whether the ring blocks run through
+        einsum or the flash kernel."""
+        from tinydiffusionmodels_tpu.train.text_train import _losses
+
+        mesh = make_mesh()
+        ops.register_sequence_mesh(mesh, "data")
+        sched, cfg, cfg_sp, joint, tokens = _joint_setup()
+        t = jnp.array([1, 3, 5, 7])
+        noise = jax.random.normal(jax.random.PRNGKey(9), (4, 128, 32))
+        w = jnp.asarray(1.0)
+
+        def loss(params, toks):
+            total, _ = _losses(
+                params, toks, t, noise, w, cfg=cfg_sp, sched=sched,
+                use_learned_embeddings=True, pretrained_matrix=None,
+                deterministic=True, key=None,
+            )
+            return total
+
+        batch = jax.device_put(
+            jnp.asarray(tokens[0]), NamedSharding(mesh, P(None, "data"))
+        )
+        g_einsum = jax.grad(loss)(joint, batch)
+        monkeypatch.setenv("TDM_RING_BLOCK", "flash")
+        jax.clear_caches()  # env knob is read at trace time
+        g_flash = jax.grad(loss)(joint, batch)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_flash),
+            jax.tree_util.tree_leaves(g_einsum),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+            )

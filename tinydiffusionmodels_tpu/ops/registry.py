@@ -139,11 +139,15 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
 
         # TDM_RING_KV_CHUNK bounds the per-ring-step score buffer to
         # (B, H, L_shard, chunk) for very long per-device shards.
+        # TDM_RING_BLOCK=flash routes each ring step's block compute
+        # through the lse-carrying Pallas flash kernel (ring x flash
+        # composition; einsum default pending real multi-chip measurement).
         kv_chunk = os.environ.get("TDM_RING_KV_CHUNK")
         return ring_attention(
             q, k, v, mesh, axis=seq_axis, causal=causal,
             dropout_rate=dropout_rate, dropout_key=dropout_key,
             kv_chunk=int(kv_chunk) if kv_chunk else None,
+            block_impl=os.environ.get("TDM_RING_BLOCK", "einsum"),
         )
     if causal and mask is None:
         l = q.shape[-2]
