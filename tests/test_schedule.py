@@ -131,3 +131,43 @@ class TestCosineSchedule:
     def test_unknown_kind(self):
         with pytest.raises(ValueError):
             make_schedule(10, kind="nope")
+
+
+class TestSqrtSchedule:
+    """Diffusion-LM sqrt schedule (Li et al. 2022 §4.1; core/schedule.py
+    sqrt_beta_schedule — a text-specific lever absent from the reference)."""
+
+    def test_alpha_bar_closed_form(self):
+        from tinydiffusionmodels_tpu.core.schedule import sqrt_beta_schedule
+
+        T = 1000
+        betas = sqrt_beta_schedule(T)
+        acp = np.cumprod(1.0 - betas)
+        t = np.arange(1, T + 1, dtype=np.float64)
+        # Normalized by alpha_bar(0) = 1 - sqrt(s), the same convention the
+        # cosine schedule uses (cumprod of betas telescopes the ratio).
+        # The final step clips at beta=0.999 (alpha_bar(T) = 1-sqrt(1+s)
+        # is slightly negative by construction), so check the unclipped
+        # prefix only.
+        expected = (1.0 - np.sqrt(t / T + 1e-4)) / (1.0 - np.sqrt(1e-4))
+        n = int(np.sum(betas < 0.999))
+        assert n >= T - 1
+        np.testing.assert_allclose(acp[:n], expected[:n], rtol=1e-10,
+                                   atol=1e-12)
+
+    def test_valid_beta_range_and_noisier_early(self):
+        from tinydiffusionmodels_tpu.core.schedule import sqrt_beta_schedule
+
+        betas = sqrt_beta_schedule(1000)
+        lin = linear_beta_schedule(1000)
+        assert betas.shape == (1000,)
+        assert np.all(betas > 0) and np.all(betas <= 0.999)
+        # The design point: much more noise at small t than linear.
+        assert np.cumprod(1 - betas)[:100].min() < np.cumprod(1 - lin)[:100].min()
+
+    def test_make_schedule_kind(self):
+        s = make_schedule(100, kind="sqrt")
+        acp = np.asarray(s.alphas_cumprod, np.float64)
+        expected0 = (1.0 - np.sqrt(1 / 100 + 1e-4)) / (1.0 - np.sqrt(1e-4))
+        np.testing.assert_allclose(acp[0], expected0, rtol=1e-6)
+        assert np.all(np.diff(acp) < 0)

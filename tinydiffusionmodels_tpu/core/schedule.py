@@ -52,6 +52,23 @@ def cosine_beta_schedule(timesteps: int, s: float = 0.008) -> np.ndarray:
     return np.clip(betas, 0.0, 0.999)
 
 
+def sqrt_beta_schedule(timesteps: int, s: float = 1e-4) -> np.ndarray:
+    """Sqrt schedule from Diffusion-LM (Li et al. 2022, §4.1 — PAPERS.md):
+    alpha_bar(t) = 1 - sqrt(t/T + s).
+
+    Designed specifically for *text embeddings*: it injects noise much
+    faster at small t than the image-tuned linear schedule (the reference
+    uses linear for text, src/shakespeare.py:25-35), because nearly
+    noise-free embedding inputs make the denoising task trivial and waste
+    model capacity. Not in the reference — the text-quality lever flag
+    ``--noise_schedule sqrt``.
+    """
+    steps = np.arange(timesteps + 1, dtype=np.float64)
+    alphas_cumprod = 1.0 - np.sqrt(steps / timesteps + s)
+    betas = 1 - (alphas_cumprod[1:] / alphas_cumprod[:-1])
+    return np.clip(betas, 0.0, 0.999)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DiffusionSchedule:
@@ -94,6 +111,8 @@ def make_schedule(
         betas = linear_beta_schedule(timesteps, start, end)
     elif kind == "cosine":
         betas = cosine_beta_schedule(timesteps)
+    elif kind == "sqrt":
+        betas = sqrt_beta_schedule(timesteps)
     else:
         raise ValueError(f"Unknown schedule kind: {kind!r}")
 

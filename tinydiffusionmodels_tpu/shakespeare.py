@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="denoiser output: eps (reference) or x0 "
                              "(original Diffusion-LM; samplers auto-detect "
                              "from the checkpoint)")
+    parser.add_argument("--noise_schedule", choices=["linear", "cosine",
+                        "sqrt"], default="linear",
+                        help="beta schedule: linear (reference), cosine, or "
+                             "sqrt (Diffusion-LM's text schedule; sampling "
+                             "auto-detects from the checkpoint)")
     parser.add_argument("--self_cond", action="store_true",
                         help="self-conditioning: feed the previous x0 "
                              "estimate back into the denoiser (Analog Bits "
@@ -224,7 +229,7 @@ def main(argv=None) -> None:
     from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
 
     key = jax.random.PRNGKey(args.seed)
-    sched = make_schedule()
+    sched = make_schedule(kind=args.noise_schedule)
 
     # --- tokenizer / pretrained-matrix resolution -------------------------
     hf_tok, pretrained_matrix, torch_lm = (None, None, None)
@@ -338,6 +343,7 @@ def main(argv=None) -> None:
             ema_decay=args.ema_decay,
             parameterization=args.parameterization,
             clamp_train=args.clamp_train,
+            noise_schedule=args.noise_schedule,
         )
         diff_params = final["diffusion_model"]
         rounding_params = final["rounding_fn"]
@@ -353,6 +359,12 @@ def main(argv=None) -> None:
                 print(f"[ckpt] parameterization="
                       f"{checkpoint['parameterization']} (from checkpoint)")
             args.parameterization = checkpoint["parameterization"]
+        if isinstance(checkpoint, dict) and "noise_schedule" in checkpoint:
+            if checkpoint["noise_schedule"] != args.noise_schedule:
+                print(f"[ckpt] noise_schedule="
+                      f"{checkpoint['noise_schedule']} (from checkpoint)")
+                args.noise_schedule = checkpoint["noise_schedule"]
+                sched = make_schedule(kind=args.noise_schedule)
         if isinstance(checkpoint, dict):
             ckpt_sc = bool(checkpoint.get("self_cond")) or (
                 isinstance(checkpoint.get("diffusion_model"), dict)

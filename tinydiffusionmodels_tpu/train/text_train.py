@@ -397,7 +397,8 @@ def make_text_eval_multi(sched, cfg, *, use_learned_embeddings,
 def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
                      extra: dict | None = None, tokenizer_state: dict | None = None,
                      parameterization: str = "eps",
-                     self_cond: bool = False) -> dict:
+                     self_cond: bool = False,
+                     noise_schedule: str = "linear") -> dict:
     ckpt: dict[str, Any] = {
         "diffusion_model": transformer_to_state_dict(
             jax.device_get(params["diffusion_model"])
@@ -411,6 +412,7 @@ def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
         # self-conditioning channel, so samplers self-configure.
         "parameterization": parameterization,
         "self_cond": self_cond,
+        "noise_schedule": noise_schedule,
     }
     if use_learned_embeddings and "embedding_fn" in params:
         ckpt["embedding_fn"] = embedding_to_state_dict(
@@ -452,6 +454,7 @@ def train(
     ema_decay: float | None = None,
     parameterization: str = "eps",
     clamp_train: bool = False,
+    noise_schedule: str = "linear",
     log_fn=print,
 ) -> dict:
     """Epoch loop with validation + early stopping
@@ -693,6 +696,7 @@ def train(
                     tokenizer_state=tokenizer_state,
                     parameterization=parameterization,
                     self_cond=cfg.self_cond,
+                    noise_schedule=noise_schedule,
                 ),
                 best_ckpt_path,
             )
@@ -748,6 +752,7 @@ def train(
             tokenizer_state=tokenizer_state,
             parameterization=parameterization,
             self_cond=cfg.self_cond,
+            noise_schedule=noise_schedule,
         ),
         final_ckpt_path,
     )

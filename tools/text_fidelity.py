@@ -131,7 +131,7 @@ def main() -> None:
 
     runtime.enable_compile_cache()
     key = jax.random.PRNGKey(args.seed)
-    sched = make_schedule()
+    sched = make_schedule()  # rebuilt below if the ckpt records a schedule
 
     corpus, _ = load_text_corpus()
     data_limit = int(os.environ.get("TDM_DATA_LIMIT", "0"))
@@ -154,7 +154,13 @@ def main() -> None:
         )
     # torch layout (out=vocab, in=embed_dim) — io/checkpoint.py:187-193
     embed_dim = np.asarray(ckpt["rounding_fn"]["decoder.weight"]).shape[1]
-    cfg = TransformerConfig(dim=int(embed_dim), timesteps=sched.timesteps)
+    self_cond = bool(ckpt.get("self_cond")) or (
+        "selfcond_proj.weight" in ckpt["diffusion_model"]
+    )
+    if ckpt.get("noise_schedule", "linear") != "linear":
+        sched = make_schedule(kind=ckpt["noise_schedule"])
+    cfg = TransformerConfig(dim=int(embed_dim), timesteps=sched.timesteps,
+                            self_cond=self_cond)
     parameterization = ckpt.get("parameterization", "eps")
 
     # --- generate ----------------------------------------------------------
