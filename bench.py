@@ -59,12 +59,15 @@ def _sync(out) -> None:
 
 
 def _timeit(fn, key, warmup: int = 2, iters: int = 10,
-            windows: int = 5) -> float:
-    """Median-of-``windows`` timing of fn(fold_in(key, i)); seconds/call.
+            windows: int = 5) -> list[float]:
+    """Per-window timings of fn(fold_in(key, i)); list of seconds/call.
 
     ``fn`` must take a PRNG key; every call gets a fresh fold so no two
     executions share arguments (defeats result memoization). Five windows
     (vs 3) because the remote-tunnel TPU shows ~5% run-to-run drift.
+    Callers take the median; the min/max envelope goes into the report so
+    cross-round comparisons can see intra-run spread (BENCH_rN drift was
+    previously unattributable — VERDICT r2 item 5).
     """
     n = [0]
 
@@ -81,7 +84,48 @@ def _timeit(fn, key, warmup: int = 2, iters: int = 10,
             out = call()
         _sync(out)
         times.append((time.perf_counter() - t0) / iters)
-    return sorted(times)[len(times) // 2]
+    return times
+
+
+def _median(xs: list[float]) -> float:
+    return sorted(xs)[len(xs) // 2]
+
+
+def _chain_timeit(fn, x0, k1: int = 4, k2: int = 20,
+                  windows: int = 5) -> list[float]:
+    """True serial DEVICE time per fn call, tunnel-dispatch excluded.
+
+    A single dispatch+readback over the remote axon tunnel costs ~25-30 ms
+    and pipelined dispatches still bottom out near ~7 ms/call — both
+    swamp a ~2.6 ms decode, which is how round 2 misreported the guided
+    decoder 4x slow (docs/…/2026-08-17-guided-decode-latency.md). Here
+    call i+1's input depends on call i's output, so the device must run
+    the K calls back-to-back while dispatches pipeline ahead; the slope
+    (t(k2) - t(k1)) / (k2 - k1) is pure device time. Returns one slope
+    per window (seconds/call).
+    """
+    def run(k):
+        x = x0
+        out = None
+        for _ in range(k):
+            out = fn(x)
+            # Data dependency: fold a scalar of the output back into the
+            # next input (also defeats terminal memoization).
+            x = x0 + 1e-6 * jnp.float32(
+                jnp.ravel(jax.tree_util.tree_leaves(out)[0])[0]
+            )
+        return out
+
+    _sync(run(2))  # compile both branches
+    slopes = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        _sync(run(k1))
+        t1 = time.perf_counter()
+        _sync(run(k2))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    return slopes
 
 
 def _mnist_setup():
@@ -126,7 +170,7 @@ def bench_mnist_train(batch_size: int = 128, chunk: int = 200,
             state, loss = step(state, batches, jax.random.fold_in(key, 2 + 2 * r + i))
         _sync(loss)
         rates.append(2 * chunk / (time.perf_counter() - t0))
-    return sorted(rates)[2], flops
+    return rates, flops
 
 
 def bench_mnist_sample(n_samples: int = 256, quick: bool = False,
@@ -170,8 +214,8 @@ def bench_mnist_sample(n_samples: int = 256, quick: bool = False,
         step_flops * nsteps / n_samples if step_flops else None
     )
 
-    sec = _timeit(fn, jax.random.PRNGKey(1), warmup=1, iters=1 if quick else 3)
-    return n_samples / sec, flops_per_sample
+    secs = _timeit(fn, jax.random.PRNGKey(1), warmup=1, iters=1 if quick else 3)
+    return [n_samples / s for s in secs], flops_per_sample
 
 
 def _text_setup(batch_size, seq_len, dim, compute_dtype=None):
@@ -236,7 +280,7 @@ def bench_text_train(batch_size: int = 8, seq_len: int = 64,
             state, losses = step(state, tokens, w, jax.random.fold_in(k, 2 + 2 * r + i))
         _sync(losses)
         rates.append(2 * chunk / (time.perf_counter() - t0))
-    return sorted(rates)[2], flops
+    return rates, flops
 
 
 def bench_text_sample(n: int = 8, seq_len: int = 64, dim: int = 256,
@@ -265,8 +309,8 @@ def bench_text_sample(n: int = 8, seq_len: int = 64, dim: int = 256,
     t = jnp.zeros((n,), jnp.int32)
     step_flops = perf.compiled_flops(one_step, x, t, jax.random.PRNGKey(0))
 
-    sec = _timeit(fn, jax.random.PRNGKey(1), warmup=1, iters=1 if quick else 3)
-    return sched.timesteps / sec, step_flops
+    secs = _timeit(fn, jax.random.PRNGKey(1), warmup=1, iters=1 if quick else 3)
+    return [sched.timesteps / s for s in secs], step_flops
 
 
 def bench_guided(n: int = 8, seq_len: int = 64) -> tuple[float, float | None]:
@@ -288,44 +332,106 @@ def bench_guided(n: int = 8, seq_len: int = 64) -> tuple[float, float | None]:
                         max_len=seq_len + 1)
     params = init_tiny_gpt(jax.random.PRNGKey(0), cfg)
     decode = lambda cache, tok: tiny_gpt_decode_step(params, cache, tok, cfg)
-    fn = jax.jit(
-        lambda key: guided_generate_scan(
-            decode, tiny_gpt_init_cache(cfg, n),
-            jax.random.normal(key, (n, seq_len, cfg.vocab_size)),
-            0, alpha=0.3,
-        )
-    )
-
     cache0 = tiny_gpt_init_cache(cfg, n)
     tok0 = jnp.zeros((n,), jnp.int32)
     step_flops = perf.compiled_flops(decode, cache0, tok0)
     flops_per_token = step_flops / n if step_flops else None
 
-    # Small-batch decode is a ~17 ms call — the most tunnel-jitter-
-    # sensitive metric in the suite (observed 23k-43k tok/s across runs);
-    # more iterations per window tighten the median.
-    sec = _timeit(fn, jax.random.PRNGKey(1), warmup=2, iters=8)
-    return n * seq_len / sec, flops_per_token
+    # Chained-delta: the decode call is ~2.6 ms on-device at n=8, far
+    # below the tunnel's per-dispatch cost — _timeit would (and in r2 did)
+    # measure the tunnel, not the chip.
+    diff0 = jax.random.normal(jax.random.PRNGKey(1), (n, seq_len,
+                                                      cfg.vocab_size))
+    gen = jax.jit(
+        lambda d: guided_generate_scan(
+            decode, tiny_gpt_init_cache(cfg, n), d, 0, alpha=0.3,
+        )
+    )
+    secs = _chain_timeit(gen, diff0)
+    return [n * seq_len / s for s in secs], flops_per_token
+
+
+def bench_guided_fused(n: int = 8, seq_len: int = 64) -> tuple[list, None]:
+    """The persistent Pallas decode kernel (ops/decode_kernel.py): whole
+    guided decode as ONE kernel, weights VMEM-resident across positions.
+    Same chained-delta timing as bench_guided for a like-for-like number."""
+    from tinydiffusionmodels_tpu.models import init_tiny_gpt
+    from tinydiffusionmodels_tpu.models.ar_lm import TinyGPTConfig
+    from tinydiffusionmodels_tpu.ops.decode_kernel import fused_guided_decode
+
+    cfg = TinyGPTConfig(vocab_size=4096, dim=256, n_heads=4, depth=4,
+                        max_len=seq_len + 1)
+    params = init_tiny_gpt(jax.random.PRNGKey(0), cfg)
+    diff0 = jax.random.normal(jax.random.PRNGKey(1), (n, seq_len,
+                                                      cfg.vocab_size))
+    fn = jax.jit(
+        lambda d: fused_guided_decode(params, cfg, d, 0, alpha=0.3)
+    )
+    secs = _chain_timeit(fn, diff0)
+    return [n * seq_len / s for s in secs], None
+
+
+def _provenance(load_start) -> dict:
+    """Environment/contention record for cross-round comparability.
+
+    The axon tunnel is host-fed: a concurrent host-heavy job craters every
+    metric (measured 15x under a full pytest run — .claude verify notes), and
+    whole-run drift of 5-10% tracks machine load. Recording load average +
+    a solo-run check makes BENCH_rN-to-BENCH_rN+1 deltas attributable.
+    """
+    ncpu = os.cpu_count() or 1
+    load_end = os.getloadavg()
+    return {
+        "time_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "cpus": ncpu,
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in load_end],
+        # 1-min load < 50% of cores at both ends ~= nothing host-heavy ran
+        # alongside the bench.
+        "solo_run": bool(
+            load_start[0] < 0.5 * ncpu and load_end[0] < 0.5 * ncpu
+        ),
+        "scan_chunk": os.environ.get("TDM_SCAN_CHUNK", "default"),
+        "kernels": os.environ.get("TDM_KERNELS", "auto"),
+    }
 
 
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--repeat", type=int, default=1,
+                        help="repeat the whole suite N times; envelopes "
+                             "merge all windows across repeats")
     args = parser.parse_args()
 
+    load_start = os.getloadavg()
     backend = jax.default_backend()
     device_kind = getattr(jax.devices()[0], "device_kind", backend)
     peak = perf.device_peak_flops()
 
     r = {}
+    env = {}
     mfu = {}
 
-    def record(name, rate, flops):
-        r[name] = rate
-        m = perf.mfu(flops, rate)
+    def record(name, rates, flops):
+        env.setdefault(name, []).extend(rates)
+        r[name] = _median(env[name])
+        m = perf.mfu(flops, r[name])
         if m is not None:
             mfu[name] = round(m, 4)
 
+    for _rep in range(max(1, args.repeat)):
+        _run_suite(args, record)
+
+    envelope = {
+        name: [round(min(v), 2), round(_median(v), 2), round(max(v), 2)]
+        for name, v in env.items()
+    }
+    _emit(args, r, mfu, envelope, backend, device_kind, peak,
+          _provenance(load_start))
+
+
+def _run_suite(args, record) -> None:
     rate, flops = bench_text_train()
     record("shakespeare_train_it_s", rate, flops)
     rate, flops = bench_text_sample(quick=args.quick)
@@ -344,6 +450,8 @@ def main() -> None:
     # at the reference's n=8; batching the KV-cached decode amortizes it.
     rate, flops = bench_guided(n=256)
     record("guided_tokens_s_bs256", rate, flops)
+    rate, flops = bench_guided_fused()
+    record("guided_fused_tokens_s", rate, flops)
 
     # Roofline points: large-batch bf16 training, where the MXU should be
     # busy. Shows how far the reference's tiny configs sit from the roof
@@ -361,6 +469,9 @@ def main() -> None:
     )
     record("shakespeare_train_bs512_bf16_it_s", rate, flops)
 
+
+def _emit(args, r, mfu, envelope, backend, device_kind, peak,
+          provenance) -> None:
     headline = r["shakespeare_train_it_s"]
     print(
         json.dumps(
@@ -396,6 +507,13 @@ def main() -> None:
                     "guided_decode_tokens_s_bs256": round(
                         r["guided_tokens_s_bs256"], 2
                     ),
+                    # Persistent Pallas decode kernel (VMEM-resident
+                    # weights; ops/decode_kernel.py). Guided metrics are
+                    # chained-delta device time from r3 on — r2's numbers
+                    # measured the tunnel dispatch, not the chip.
+                    "guided_fused_tokens_s_bs8": round(
+                        r["guided_fused_tokens_s"], 2
+                    ),
                     # DPM-Solver++(2M) 20 steps matches ancestral-1000
                     # fidelity (IS 6.20 vs 6.43, tools/fidelity.py) — the
                     # quality-matched sampling throughput.
@@ -409,6 +527,10 @@ def main() -> None:
                         r["shakespeare_train_bs512_bf16_it_s"], 2
                     ),
                     "mfu": mfu,
+                    # Per-metric [min, median, max] across all timing
+                    # windows (x --repeat), it/s-space.
+                    "envelope": envelope,
+                    "provenance": provenance,
                 },
             }
         )
