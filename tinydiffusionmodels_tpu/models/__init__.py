@@ -14,6 +14,7 @@ from tinydiffusionmodels_tpu.models.transformer import (
 from tinydiffusionmodels_tpu.models.embedding import (
     init_learned_embedding,
     embedding_apply,
+    rms_normalize_rows,
     init_learned_rounding,
     rounding_apply,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "tiny_transformer_apply",
     "init_learned_embedding",
     "embedding_apply",
+    "rms_normalize_rows",
     "init_learned_rounding",
     "rounding_apply",
     "init_tiny_gpt",

@@ -46,14 +46,45 @@ def init_learned_embedding(
     return {"weight": weight}
 
 
-def embedding_apply(params: dict, token_ids: jax.Array) -> jax.Array:
-    """(B, L) int -> (B, L, dim)."""
-    return jnp.take(params["weight"], token_ids, axis=0)
+def rms_normalize_rows(w: jax.Array) -> jax.Array:
+    """Scale each row to L2 = sqrt(dim), i.e. per-coordinate RMS 1.
+
+    Why: with the reference's N(0, 0.02) init (src/shakespeare.py:51) and a
+    joint MSE objective, learned embeddings never grow toward the unit
+    Gaussian noise scale of q_sample — measured after a 100-epoch dim-512
+    run, rows sit at L2 ~ 0.7 vs the ~ 22.6 of unit-RMS, so the per-
+    coordinate signal is ~ 30x smaller than the noise at EVERY diffusion
+    step and the x0-MSE saturates near zero while samples stay noise-bound
+    (the Diffusion-LM "embedding scale collapse"; cf. Difformer). Pinning
+    rows to the noise sphere makes the beta schedule's SNR range meaningful.
+    Gradients flow through the normalization (tangential component)."""
+    d = w.shape[-1]
+    scale = jnp.sqrt(jnp.float32(d)) / (
+        jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-12
+    )
+    return w * scale
 
 
-def embedding_matrix(params: dict) -> jax.Array:
-    """(vocab, dim) table for cosine-similarity decoding."""
-    return params["weight"]
+def _apply_norm(x: jax.Array, norm: str) -> jax.Array:
+    if norm == "none":
+        return x
+    if norm == "rms":
+        return rms_normalize_rows(x)
+    raise ValueError(f"unknown embed_norm: {norm!r}")
+
+
+def embedding_apply(
+    params: dict, token_ids: jax.Array, *, norm: str = "none"
+) -> jax.Array:
+    """(B, L) int -> (B, L, dim). ``norm='rms'``: rows pinned to the noise
+    sphere (rms_normalize_rows)."""
+    return _apply_norm(jnp.take(params["weight"], token_ids, axis=0), norm)
+
+
+def embedding_matrix(params: dict, *, norm: str = "none") -> jax.Array:
+    """(vocab, dim) table for cosine-similarity/clamp decoding; ``norm``
+    must match how the checkpoint was trained (ckpt key 'embed_norm')."""
+    return _apply_norm(params["weight"], norm)
 
 
 def init_learned_rounding(key: jax.Array, embed_dim: int, vocab_size: int) -> dict:

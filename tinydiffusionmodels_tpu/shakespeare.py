@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="beta schedule: linear (reference), cosine, or "
                              "sqrt (Diffusion-LM's text schedule; sampling "
                              "auto-detects from the checkpoint)")
+    parser.add_argument("--embed_norm", choices=["none", "rms"],
+                        default="none",
+                        help="pin embedding rows to the unit-RMS noise "
+                             "sphere during training/decoding (fixes the "
+                             "Diffusion-LM embedding-scale collapse; "
+                             "sampling auto-detects from the checkpoint)")
     parser.add_argument("--self_cond", action="store_true",
                         help="self-conditioning: feed the previous x0 "
                              "estimate back into the denoiser (Analog Bits "
@@ -344,6 +350,7 @@ def main(argv=None) -> None:
             parameterization=args.parameterization,
             clamp_train=args.clamp_train,
             noise_schedule=args.noise_schedule,
+            embed_norm=args.embed_norm,
         )
         diff_params = final["diffusion_model"]
         rounding_params = final["rounding_fn"]
@@ -365,6 +372,11 @@ def main(argv=None) -> None:
                       f"{checkpoint['noise_schedule']} (from checkpoint)")
                 args.noise_schedule = checkpoint["noise_schedule"]
                 sched = make_schedule(kind=args.noise_schedule)
+        if isinstance(checkpoint, dict) and "embed_norm" in checkpoint:
+            if checkpoint["embed_norm"] != args.embed_norm:
+                print(f"[ckpt] embed_norm={checkpoint['embed_norm']} "
+                      "(from checkpoint)")
+            args.embed_norm = checkpoint["embed_norm"]
         if isinstance(checkpoint, dict):
             ckpt_sc = bool(checkpoint.get("self_cond")) or (
                 isinstance(checkpoint.get("diffusion_model"), dict)
@@ -400,17 +412,23 @@ def main(argv=None) -> None:
 
     embed_matrix = None
     if use_learned_embeddings:
-        embed_matrix = embedding_matrix(embedding_params)
+        embed_matrix = embedding_matrix(embedding_params,
+                                        norm=args.embed_norm)
     elif pretrained_matrix is not None:
         import jax.numpy as jnp
 
-        embed_matrix = jnp.asarray(pretrained_matrix)
+        from tinydiffusionmodels_tpu.models.embedding import _apply_norm
+
+        embed_matrix = _apply_norm(
+            jnp.asarray(pretrained_matrix), args.embed_norm
+        )
     elif embedding_params is not None:
         # Legacy checkpoint + no HF matrix (hermetic env): the only usable
         # decoding space is the freshly-initialized learned embedding.
         print("Warning: no pre-trained embedding matrix available; cosine "
               "decoding will use randomly-initialized embeddings.")
-        embed_matrix = embedding_matrix(embedding_params)
+        embed_matrix = embedding_matrix(embedding_params,
+                                        norm=args.embed_norm)
 
     # --- plain sampling ---------------------------------------------------
     if args.sample:

@@ -40,6 +40,7 @@ from tinydiffusionmodels_tpu.models import (
     rounding_apply,
     tiny_transformer_apply,
 )
+from tinydiffusionmodels_tpu.models.embedding import _apply_norm
 from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
 from tinydiffusionmodels_tpu.parallel import (
     make_mesh,
@@ -79,6 +80,7 @@ def _losses(
     compute_dtype=None,
     parameterization: str = "eps",
     clamp_train: bool = False,
+    embed_norm: str = "none",
 ):
     """Joint diffusion + rounding loss (reference src/shakespeare.py:224-243).
 
@@ -103,9 +105,13 @@ def _losses(
     emb[true] is exactly the rounding CE's job, in logit space where it
     belongs)."""
     if use_learned_embeddings:
-        x0 = embedding_apply(joint_params["embedding_fn"], token_ids)
+        x0 = embedding_apply(
+            joint_params["embedding_fn"], token_ids, norm=embed_norm
+        )
     else:
         x0 = jnp.take(pretrained_matrix, token_ids, axis=0)
+        if embed_norm != "none":
+            x0 = _apply_norm(x0, embed_norm)
     x_noisy = q_sample(sched, x0, t, noise)
     params_c = cast_floating(joint_params, compute_dtype)
     x0_c = x0
@@ -117,6 +123,8 @@ def _losses(
         emb_table = joint_params["embedding_fn"]["weight"]
     else:
         emb_table = pretrained_matrix
+    if embed_norm != "none":
+        emb_table = _apply_norm(emb_table, embed_norm)
 
     x0_prev = None
     if cfg.self_cond:
@@ -190,7 +198,8 @@ def _losses(
 
 def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
                          pretrained_matrix=None, compute_dtype=None,
-                         parameterization="eps", clamp_train=False):
+                         parameterization="eps", clamp_train=False,
+                         embed_norm="none"):
     """(state, tokens (B,L), weight, key) -> (state, (diff, round, total))."""
 
     def loss_fn(params, token_ids, rounding_weight, key):
@@ -212,7 +221,7 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
-            clamp_train=clamp_train,
+            clamp_train=clamp_train, embed_norm=embed_norm,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -230,7 +239,8 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
 
 def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
                                pretrained_matrix=None, compute_dtype=None,
-                               parameterization="eps", clamp_train=False):
+                               parameterization="eps", clamp_train=False,
+                         embed_norm="none"):
     """Scan K optimizer steps in one dispatch (see mnist_train.
     make_train_step_multi for why): (state, tokens (K, B, L), weight, key)
     -> (state, summed (diff, round, total))."""
@@ -254,7 +264,7 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
-            clamp_train=clamp_train,
+            clamp_train=clamp_train, embed_norm=embed_norm,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -283,7 +293,8 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
 def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
                                    use_learned_embeddings,
                                    pretrained_matrix=None, compute_dtype=None,
-                                   parameterization="eps", clamp_train=False):
+                                   parameterization="eps", clamp_train=False,
+                         embed_norm="none"):
     """Scan-of-steps with an EMA of the joint params maintained in the same
     dispatch (see mnist_train.make_train_step_multi_ema):
     (state, ema, tokens (K, B, L), weight, key) -> (state, ema, sums)."""
@@ -307,7 +318,7 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
             pretrained_matrix=pretrained_matrix,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
-            clamp_train=clamp_train,
+            clamp_train=clamp_train, embed_norm=embed_norm,
         )
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -339,7 +350,8 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
 
 def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
                         pretrained_matrix=None, compute_dtype=None,
-                        parameterization="eps", clamp_train=False):
+                        parameterization="eps", clamp_train=False,
+                         embed_norm="none"):
     @jax.jit
     def eval_step(params, token_ids, rounding_weight, key):
         b = token_ids.shape[0]
@@ -360,7 +372,7 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
             pretrained_matrix=pretrained_matrix,
             deterministic=True, key=None,
             compute_dtype=compute_dtype, parameterization=parameterization,
-            clamp_train=clamp_train,
+            clamp_train=clamp_train, embed_norm=embed_norm,
         )
         return diff, round_, total
 
@@ -369,13 +381,14 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
 
 def make_text_eval_multi(sched, cfg, *, use_learned_embeddings,
                          pretrained_matrix=None, compute_dtype=None,
-                         parameterization="eps", clamp_train=False):
+                         parameterization="eps", clamp_train=False,
+                         embed_norm="none"):
     """Scanned validation pass: (params, tokens (K, B, L), weight, key) ->
     summed (diff, round, total) over K batches in one dispatch."""
     eval_one = make_text_eval_step(
         sched, cfg, use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
-        parameterization=parameterization, clamp_train=clamp_train,
+        parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
     )
 
     @jax.jit
@@ -398,7 +411,8 @@ def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
                      extra: dict | None = None, tokenizer_state: dict | None = None,
                      parameterization: str = "eps",
                      self_cond: bool = False,
-                     noise_schedule: str = "linear") -> dict:
+                     noise_schedule: str = "linear",
+                     embed_norm: str = "none") -> dict:
     ckpt: dict[str, Any] = {
         "diffusion_model": transformer_to_state_dict(
             jax.device_get(params["diffusion_model"])
@@ -413,6 +427,7 @@ def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
         "parameterization": parameterization,
         "self_cond": self_cond,
         "noise_schedule": noise_schedule,
+        "embed_norm": embed_norm,
     }
     if use_learned_embeddings and "embedding_fn" in params:
         ckpt["embedding_fn"] = embedding_to_state_dict(
@@ -455,6 +470,7 @@ def train(
     parameterization: str = "eps",
     clamp_train: bool = False,
     noise_schedule: str = "linear",
+    embed_norm: str = "none",
     log_fn=print,
 ) -> dict:
     """Epoch loop with validation + early stopping
@@ -504,20 +520,20 @@ def train(
             sched, cfg, tx,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
-            parameterization=parameterization, clamp_train=clamp_train,
+            parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
         )
     else:
         train_multi_ema = make_text_train_step_multi_ema(
             sched, cfg, tx, ema_decay=ema_decay,
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
-            parameterization=parameterization, clamp_train=clamp_train,
+            parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
         )
     eval_multi = make_text_eval_multi(
         sched, cfg,
         use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
-        parameterization=parameterization, clamp_train=clamp_train,
+        parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
     )
 
     from tinydiffusionmodels_tpu.train.metrics import MetricsLogger
@@ -697,6 +713,7 @@ def train(
                     parameterization=parameterization,
                     self_cond=cfg.self_cond,
                     noise_schedule=noise_schedule,
+                    embed_norm=embed_norm,
                 ),
                 best_ckpt_path,
             )
@@ -753,6 +770,7 @@ def train(
             parameterization=parameterization,
             self_cond=cfg.self_cond,
             noise_schedule=noise_schedule,
+            embed_norm=embed_norm,
         ),
         final_ckpt_path,
     )

@@ -147,10 +147,12 @@ def main() -> None:
     )
     diff_params = transformer_from_state_dict(ckpt["diffusion_model"])
     rounding_params = rounding_from_state_dict(ckpt["rounding_fn"])
+    embed_norm = ckpt.get("embed_norm", "none")
     embed_matrix = None
     if "embedding_fn" in ckpt:
         embed_matrix = embedding_matrix(
-            embedding_from_state_dict(ckpt["embedding_fn"])
+            embedding_from_state_dict(ckpt["embedding_fn"]),
+            norm=embed_norm,
         )
     # torch layout (out=vocab, in=embed_dim) — io/checkpoint.py:187-193
     embed_dim = np.asarray(ckpt["rounding_fn"]["decoder.weight"]).shape[1]
