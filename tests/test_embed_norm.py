@@ -141,3 +141,24 @@ def test_checkpoint_records_and_roundtrips_embed_norm(tmp_path):
         np.linalg.norm(np.asarray(mat), axis=-1),
         np.full(12, 4.0), rtol=1e-4,
     )
+
+
+def test_zscore_whitens_across_vocab():
+    w = jax.random.normal(jax.random.PRNGKey(4), (54, 64)) * 0.02 + 0.5
+    from tinydiffusionmodels_tpu.models.embedding import zscore_table
+
+    out = np.asarray(zscore_table(w))
+    np.testing.assert_allclose(out.mean(axis=0), np.zeros(64), atol=1e-5)
+    np.testing.assert_allclose(out.std(axis=0), np.ones(64), atol=1e-3)
+
+
+def test_zscore_kills_common_direction_cheat():
+    """A table collapsed to a narrow cone (the measured rms failure mode)
+    still whitens to unit between-token variance per coordinate."""
+    from tinydiffusionmodels_tpu.models.embedding import zscore_table
+
+    base = jax.random.normal(jax.random.PRNGKey(5), (1, 32))
+    jitter = 0.01 * jax.random.normal(jax.random.PRNGKey(6), (54, 32))
+    w = base + jitter  # pairwise cosine ~1
+    out = np.asarray(zscore_table(w))
+    np.testing.assert_allclose(out.std(axis=0), np.ones(32), atol=1e-3)

@@ -280,6 +280,7 @@ def _fused_guided_decode_impl(
     b, seq_len, vocab = diff_logits_all.shape
     d = cfg.dim
     dh = d // cfg.n_heads
+    t_pad = -(-cfg.max_len // 8) * 8
 
     const = lambda ref_shape: pl.BlockSpec(
         ref_shape, lambda i: tuple(0 for _ in ref_shape),
@@ -333,10 +334,14 @@ def _fused_guided_decode_impl(
             pltpu.VMEM((1, b), jnp.int32),                          # cur_tok
             # bf16 cache halves the largest scratch block (VMEM budget);
             # the f32 verification pass absorbs the draft-precision loss.
-            # T-leading layout: see the kernel's cache comment.
-            pltpu.VMEM((cfg.max_len, cfg.depth, cfg.n_heads, b, dh),
+            # T-leading layout: see the kernel's cache comment. T is padded
+            # to a sublane multiple (8): the per-head (T, B) score/softmax
+            # intermediates then tile cleanly instead of relayouting a
+            # (65, B) block every position; the causal mask (tpos <= pos)
+            # already excludes the zeroed pad rows.
+            pltpu.VMEM((t_pad, cfg.depth, cfg.n_heads, b, dh),
                        jnp.bfloat16),                               # k cache
-            pltpu.VMEM((cfg.max_len, cfg.depth, cfg.n_heads, b, dh),
+            pltpu.VMEM((t_pad, cfg.depth, cfg.n_heads, b, dh),
                        jnp.bfloat16),                               # v cache
         ],
         interpret=_interpret(),

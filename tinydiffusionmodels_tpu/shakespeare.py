@@ -94,7 +94,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="beta schedule: linear (reference), cosine, or "
                              "sqrt (Diffusion-LM's text schedule; sampling "
                              "auto-detects from the checkpoint)")
-    parser.add_argument("--embed_norm", choices=["none", "rms"],
+    parser.add_argument("--embed_norm",
+                        choices=["none", "rms", "zscore"],
                         default="none",
                         help="pin embedding rows to the unit-RMS noise "
                              "sphere during training/decoding (fixes the "

@@ -109,9 +109,10 @@ def _losses(
             joint_params["embedding_fn"], token_ids, norm=embed_norm
         )
     else:
-        x0 = jnp.take(pretrained_matrix, token_ids, axis=0)
-        if embed_norm != "none":
-            x0 = _apply_norm(x0, embed_norm)
+        # Normalize the TABLE, then look up (zscore needs vocab-axis stats).
+        x0 = jnp.take(
+            _apply_norm(pretrained_matrix, embed_norm), token_ids, axis=0
+        )
     x_noisy = q_sample(sched, x0, t, noise)
     params_c = cast_floating(joint_params, compute_dtype)
     x0_c = x0
