@@ -162,3 +162,42 @@ def test_zscore_kills_common_direction_cheat():
     w = base + jitter  # pairwise cosine ~1
     out = np.asarray(zscore_table(w))
     np.testing.assert_allclose(out.std(axis=0), np.ones(32), atol=1e-3)
+
+
+def test_freeze_embeddings_stops_table_gradient():
+    from tinydiffusionmodels_tpu.models import (
+        init_learned_embedding,
+        init_learned_rounding,
+        init_tiny_transformer,
+    )
+    from tinydiffusionmodels_tpu.train.text_train import _losses
+
+    key = jax.random.PRNGKey(7)
+    cfg = TransformerConfig(dim=16, n_heads=2, depth=1, ffn_dim=32,
+                            dropout=0.0, timesteps=10)
+    sched = make_schedule(timesteps=10)
+    params = {
+        "diffusion_model": init_tiny_transformer(key, cfg),
+        "rounding_fn": init_learned_rounding(key, 16, 12),
+        "embedding_fn": init_learned_embedding(key, 12, 16),
+    }
+    tokens = jnp.asarray([[1, 4, 7, 2]])
+    t = jnp.asarray([3])
+    noise = jax.random.normal(key, (1, 4, 16))
+
+    def total(p, freeze):
+        loss, _ = _losses(
+            p, tokens, t, noise, jnp.asarray(1.0), cfg=cfg, sched=sched,
+            use_learned_embeddings=True, pretrained_matrix=None,
+            deterministic=True, key=None, parameterization="x0",
+            embed_norm="zscore", freeze_embeddings=freeze,
+        )
+        return loss
+
+    g_frozen = jax.grad(lambda p: total(p, True))(params)
+    g_live = jax.grad(lambda p: total(p, False))(params)
+    assert float(jnp.abs(g_frozen["embedding_fn"]["weight"]).max()) == 0.0
+    assert float(jnp.abs(g_live["embedding_fn"]["weight"]).max()) > 0.0
+    # Denoiser still trains in both regimes.
+    leaves = jax.tree_util.tree_leaves(g_frozen["diffusion_model"])
+    assert max(float(jnp.abs(leaf).max()) for leaf in leaves) > 0.0

@@ -101,6 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "sphere during training/decoding (fixes the "
                              "Diffusion-LM embedding-scale collapse; "
                              "sampling auto-detects from the checkpoint)")
+    parser.add_argument("--freeze_embeddings", action="store_true",
+                        help="train around a FIXED embedding table "
+                             "(stop-gradient; Analog Bits/CDCD-style fixed "
+                             "encodings — with --embed_norm zscore the "
+                             "random init is near-orthogonal and immune to "
+                             "scale collapse)")
     parser.add_argument("--self_cond", action="store_true",
                         help="self-conditioning: feed the previous x0 "
                              "estimate back into the denoiser (Analog Bits "
@@ -352,6 +358,7 @@ def main(argv=None) -> None:
             clamp_train=args.clamp_train,
             noise_schedule=args.noise_schedule,
             embed_norm=args.embed_norm,
+            freeze_embeddings=args.freeze_embeddings,
         )
         diff_params = final["diffusion_model"]
         rounding_params = final["rounding_fn"]

@@ -81,6 +81,7 @@ def _losses(
     parameterization: str = "eps",
     clamp_train: bool = False,
     embed_norm: str = "none",
+    freeze_embeddings: bool = False,
 ):
     """Joint diffusion + rounding loss (reference src/shakespeare.py:224-243).
 
@@ -105,14 +106,19 @@ def _losses(
     emb[true] is exactly the rounding CE's job, in logit space where it
     belongs)."""
     if use_learned_embeddings:
-        x0 = embedding_apply(
-            joint_params["embedding_fn"], token_ids, norm=embed_norm
-        )
+        emb_w = joint_params["embedding_fn"]["weight"]
     else:
-        # Normalize the TABLE, then look up (zscore needs vocab-axis stats).
-        x0 = jnp.take(
-            _apply_norm(pretrained_matrix, embed_norm), token_ids, axis=0
-        )
+        emb_w = pretrained_matrix
+    if freeze_embeddings:
+        # Fixed-encoding regime (Analog Bits/CDCD style): random Gaussian
+        # rows at dim>=256 are near-orthogonal, so combined with
+        # embed_norm=zscore the geometry is ideal AND immune to the
+        # collapse cheats a learned table keeps finding (radial shrink ->
+        # angular cone -> outlier-balanced cone, all measured in round 3).
+        emb_w = jax.lax.stop_gradient(emb_w)
+    # Normalize the TABLE, then look up (zscore needs vocab-axis stats).
+    norm_table = _apply_norm(emb_w, embed_norm)
+    x0 = jnp.take(norm_table, token_ids, axis=0)
     x_noisy = q_sample(sched, x0, t, noise)
     params_c = cast_floating(joint_params, compute_dtype)
     x0_c = x0
@@ -120,12 +126,7 @@ def _losses(
         x_noisy = x_noisy.astype(compute_dtype)
         x0_c = x0.astype(compute_dtype)
 
-    if use_learned_embeddings:
-        emb_table = joint_params["embedding_fn"]["weight"]
-    else:
-        emb_table = pretrained_matrix
-    if embed_norm != "none":
-        emb_table = _apply_norm(emb_table, embed_norm)
+    emb_table = norm_table
 
     x0_prev = None
     if cfg.self_cond:
@@ -200,7 +201,7 @@ def _losses(
 def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
                          pretrained_matrix=None, compute_dtype=None,
                          parameterization="eps", clamp_train=False,
-                         embed_norm="none"):
+                         embed_norm="none", freeze_embeddings=False):
     """(state, tokens (B,L), weight, key) -> (state, (diff, round, total))."""
 
     def loss_fn(params, token_ids, rounding_weight, key):
@@ -223,6 +224,7 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
             clamp_train=clamp_train, embed_norm=embed_norm,
+            freeze_embeddings=freeze_embeddings,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -241,7 +243,7 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
 def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
                                pretrained_matrix=None, compute_dtype=None,
                                parameterization="eps", clamp_train=False,
-                         embed_norm="none"):
+                         embed_norm="none", freeze_embeddings=False):
     """Scan K optimizer steps in one dispatch (see mnist_train.
     make_train_step_multi for why): (state, tokens (K, B, L), weight, key)
     -> (state, summed (diff, round, total))."""
@@ -266,6 +268,7 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
             clamp_train=clamp_train, embed_norm=embed_norm,
+            freeze_embeddings=freeze_embeddings,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -295,7 +298,7 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
                                    use_learned_embeddings,
                                    pretrained_matrix=None, compute_dtype=None,
                                    parameterization="eps", clamp_train=False,
-                         embed_norm="none"):
+                         embed_norm="none", freeze_embeddings=False):
     """Scan-of-steps with an EMA of the joint params maintained in the same
     dispatch (see mnist_train.make_train_step_multi_ema):
     (state, ema, tokens (K, B, L), weight, key) -> (state, ema, sums)."""
@@ -320,6 +323,7 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
             clamp_train=clamp_train, embed_norm=embed_norm,
+            freeze_embeddings=freeze_embeddings,
         )
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -352,7 +356,7 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
 def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
                         pretrained_matrix=None, compute_dtype=None,
                         parameterization="eps", clamp_train=False,
-                         embed_norm="none"):
+                         embed_norm="none", freeze_embeddings=False):
     @jax.jit
     def eval_step(params, token_ids, rounding_weight, key):
         b = token_ids.shape[0]
@@ -374,6 +378,7 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
             deterministic=True, key=None,
             compute_dtype=compute_dtype, parameterization=parameterization,
             clamp_train=clamp_train, embed_norm=embed_norm,
+            freeze_embeddings=freeze_embeddings,
         )
         return diff, round_, total
 
@@ -383,13 +388,14 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
 def make_text_eval_multi(sched, cfg, *, use_learned_embeddings,
                          pretrained_matrix=None, compute_dtype=None,
                          parameterization="eps", clamp_train=False,
-                         embed_norm="none"):
+                         embed_norm="none", freeze_embeddings=False):
     """Scanned validation pass: (params, tokens (K, B, L), weight, key) ->
     summed (diff, round, total) over K batches in one dispatch."""
     eval_one = make_text_eval_step(
         sched, cfg, use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
         parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
+            freeze_embeddings=freeze_embeddings,
     )
 
     @jax.jit
@@ -472,6 +478,7 @@ def train(
     clamp_train: bool = False,
     noise_schedule: str = "linear",
     embed_norm: str = "none",
+    freeze_embeddings: bool = False,
     log_fn=print,
 ) -> dict:
     """Epoch loop with validation + early stopping
@@ -522,6 +529,7 @@ def train(
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
             parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
+            freeze_embeddings=freeze_embeddings,
         )
     else:
         train_multi_ema = make_text_train_step_multi_ema(
@@ -529,12 +537,14 @@ def train(
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
             parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
+            freeze_embeddings=freeze_embeddings,
         )
     eval_multi = make_text_eval_multi(
         sched, cfg,
         use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
         parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
+            freeze_embeddings=freeze_embeddings,
     )
 
     from tinydiffusionmodels_tpu.train.metrics import MetricsLogger
