@@ -100,6 +100,9 @@ def transformer_to_state_dict(params: dict) -> "OrderedDict[str, np.ndarray]":
     sd: "OrderedDict[str, np.ndarray]" = OrderedDict()
     sd["time_emb.weight"] = _np(params["time_emb"]["w"]).T
     sd["time_emb.bias"] = _np(params["time_emb"]["b"])
+    if "pos_emb" in params:
+        # torch nn.Embedding layout: (max_len, dim), no transpose.
+        sd["pos_emb.weight"] = _np(params["pos_emb"])
     if "selfcond_proj" in params:
         # Framework extension (self-conditioning); torch-style names so the
         # checkpoint stays loadable as a plain state_dict.
@@ -175,6 +178,8 @@ def transformer_from_state_dict(sd: dict) -> dict:
         },
         "layers": tuple(layers),
     }
+    if "pos_emb.weight" in sd:
+        params["pos_emb"] = jnp.asarray(_np(sd["pos_emb.weight"]))
     if "selfcond_proj.weight" in sd:
         params["selfcond_proj"] = {
             "w": jnp.asarray(_np(sd["selfcond_proj.weight"]).T),

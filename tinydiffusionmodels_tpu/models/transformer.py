@@ -47,6 +47,15 @@ class TransformerConfig:
     # axis (ops.register_sequence_mesh must have registered it). None =
     # single-chip attention (flash/XLA via the ops registry).
     seq_axis: str | None = None
+    # Learned absolute positional embedding (framework extension): the
+    # reference denoiser has NO positional signal (src/shakespeare.py:
+    # 105-120, nn.TransformerEncoder without posenc), making it
+    # permutation-equivariant — measured round 3: an honestly-trained
+    # (non-collapsed) no-posenc model generates correct character
+    # FREQUENCIES but no ordering. Diffusion-LM proper uses positional
+    # embeddings; this adds the standard learned table.
+    pos_emb: bool = False
+    max_len: int = 512
     # Self-conditioning (Analog Bits, Chen et al. 2022 — PAPERS.md): feed
     # the previous x0 estimate back as an extra input through a zero-init
     # projection. Framework extension beyond the reference denoiser
@@ -84,6 +93,11 @@ def init_tiny_transformer(key: jax.Array, cfg: TransformerConfig) -> dict:
         "time_emb": linear_params(keys[0], 1, cfg.dim),
         "layers": tuple(_init_layer(k, cfg) for k in keys[1:]),
     }
+    if cfg.pos_emb:
+        # torch-style N(0, 0.02) init, one row per absolute position.
+        params["pos_emb"] = 0.02 * jax.random.normal(
+            jax.random.fold_in(keys[0], 1), (cfg.max_len, cfg.dim)
+        )
     if cfg.self_cond:
         # Zero-init: with no previous estimate (or at the start of
         # training) the self-conditioned model computes exactly the same
@@ -177,6 +191,9 @@ def tiny_transformer_apply(
     t_scaled = (t.astype(x.dtype) / cfg.timesteps)[:, None]      # (B, 1)
     time_bias = linear_apply(params["time_emb"], t_scaled)[:, None, :]
     x = x + time_bias
+    if "pos_emb" in params:
+        # Keyed on params (not cfg) so checkpoints self-configure at load.
+        x = x + params["pos_emb"][: x.shape[1]][None].astype(x.dtype)
     if cfg.self_cond:
         if x0_prev is not None:
             x = x + linear_apply(

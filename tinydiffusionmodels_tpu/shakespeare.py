@@ -101,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "sphere during training/decoding (fixes the "
                              "Diffusion-LM embedding-scale collapse; "
                              "sampling auto-detects from the checkpoint)")
+    parser.add_argument("--pos_emb", action="store_true",
+                        help="learned absolute positional embedding in the "
+                             "denoiser (the reference transformer has none "
+                             "and is permutation-equivariant, "
+                             "src/shakespeare.py:105-120; Diffusion-LM "
+                             "uses one; sampling auto-detects from the "
+                             "checkpoint)")
     parser.add_argument("--freeze_embeddings", action="store_true",
                         help="train around a FIXED embedding table "
                              "(stop-gradient; Analog Bits/CDCD-style fixed "
@@ -311,6 +318,7 @@ def main(argv=None) -> None:
         dim=embed_dim, n_heads=4, depth=args.depth, dropout=args.dropout,
         timesteps=sched.timesteps, seq_axis=seq_axis,
         self_cond=args.self_cond,
+        pos_emb=args.pos_emb, max_len=max(512, args.seq_len),
     )
     diff_params = init_tiny_transformer(substream(key, "diffusion"), cfg)
     rounding_params = init_learned_rounding(
