@@ -71,3 +71,40 @@ def test_pos_emb_truncates_to_sequence_length():
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 16))
     out = tiny_transformer_apply(p, x, jnp.asarray([0]), CFG)
     assert out.shape == (1, 5, 16)
+
+
+def test_rope_breaks_permutation_but_adds_no_params():
+    cfg = TransformerConfig(dim=16, n_heads=2, depth=1, ffn_dim=32,
+                            dropout=0.0, timesteps=10, pos_emb="rope")
+    p = init_tiny_transformer(jax.random.PRNGKey(0), cfg)
+    assert "pos_emb" not in p
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 16))
+    perm = jnp.asarray([3, 1, 5, 0, 4, 2])
+    out = tiny_transformer_apply(p, x, jnp.asarray([2]), cfg)
+    out_p = tiny_transformer_apply(p, x[:, perm], jnp.asarray([2]), cfg)
+    assert float(jnp.abs(out[:, perm] - out_p).max()) > 1e-3
+
+
+def test_rope_attention_is_translation_covariant():
+    """RoPE scores depend only on relative offset: shifting every position
+    by a constant leaves q.k inner products unchanged."""
+    from tinydiffusionmodels_tpu.models.transformer import _rope
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 12, 8))
+    q = _rope(x)
+    k = _rope(x)
+    s0 = jnp.einsum("bhld,bhmd->bhlm", q, k)
+    # Emulate a shift by rotating a longer sequence and slicing the tail.
+    pad = jnp.concatenate(
+        [jnp.zeros((1, 1, 5, 8), x.dtype), x], axis=2
+    )
+    qs = _rope(pad)[:, :, 5:]
+    ks = _rope(pad)[:, :, 5:]
+    s1 = jnp.einsum("bhld,bhmd->bhlm", qs, ks)
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bool_pos_emb_compat():
+    assert TransformerConfig(dim=8, pos_emb=True).pos_kind == "abs"
+    assert TransformerConfig(dim=8, pos_emb=False).pos_kind == "none"

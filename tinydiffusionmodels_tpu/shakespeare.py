@@ -101,13 +101,16 @@ def build_parser() -> argparse.ArgumentParser:
                              "sphere during training/decoding (fixes the "
                              "Diffusion-LM embedding-scale collapse; "
                              "sampling auto-detects from the checkpoint)")
-    parser.add_argument("--pos_emb", action="store_true",
-                        help="learned absolute positional embedding in the "
-                             "denoiser (the reference transformer has none "
-                             "and is permutation-equivariant, "
-                             "src/shakespeare.py:105-120; Diffusion-LM "
-                             "uses one; sampling auto-detects from the "
-                             "checkpoint)")
+    parser.add_argument("--pos_emb", nargs="?", const="abs",
+                        default="none", choices=["none", "abs", "rope"],
+                        help="positional encoding in the denoiser (the "
+                             "reference transformer has none and is "
+                             "permutation-equivariant, "
+                             "src/shakespeare.py:105-120): 'abs' = learned "
+                             "absolute table (Diffusion-LM), 'rope' = "
+                             "rotary relative (parameter-free; language "
+                             "structure is translation-invariant); "
+                             "sampling auto-detects from the checkpoint)")
     parser.add_argument("--freeze_embeddings", action="store_true",
                         help="train around a FIXED embedding table "
                              "(stop-gradient; Analog Bits/CDCD-style fixed "
@@ -388,6 +391,15 @@ def main(argv=None) -> None:
                       f"{checkpoint['noise_schedule']} (from checkpoint)")
                 args.noise_schedule = checkpoint["noise_schedule"]
                 sched = make_schedule(kind=args.noise_schedule)
+        if isinstance(checkpoint, dict) and "pos_emb" in checkpoint:
+            if checkpoint["pos_emb"] != args.pos_emb:
+                print(f"[ckpt] pos_emb={checkpoint['pos_emb']} "
+                      "(from checkpoint)")
+            args.pos_emb = checkpoint["pos_emb"]
+            if cfg.pos_kind != args.pos_emb:
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, pos_emb=args.pos_emb)
         if isinstance(checkpoint, dict) and "embed_norm" in checkpoint:
             if checkpoint["embed_norm"] != args.embed_norm:
                 print(f"[ckpt] embed_norm={checkpoint['embed_norm']} "

@@ -419,7 +419,8 @@ def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
                      parameterization: str = "eps",
                      self_cond: bool = False,
                      noise_schedule: str = "linear",
-                     embed_norm: str = "none") -> dict:
+                     embed_norm: str = "none",
+                     pos_emb: str = "none") -> dict:
     ckpt: dict[str, Any] = {
         "diffusion_model": transformer_to_state_dict(
             jax.device_get(params["diffusion_model"])
@@ -435,6 +436,9 @@ def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
         "self_cond": self_cond,
         "noise_schedule": noise_schedule,
         "embed_norm": embed_norm,
+        # 'rope' has no weights, so samplers need the mode recorded here;
+        # 'abs' is additionally self-detecting via pos_emb.weight.
+        "pos_emb": pos_emb,
     }
     if use_learned_embeddings and "embedding_fn" in params:
         ckpt["embedding_fn"] = embedding_to_state_dict(
@@ -725,6 +729,7 @@ def train(
                     self_cond=cfg.self_cond,
                     noise_schedule=noise_schedule,
                     embed_norm=embed_norm,
+                    pos_emb=cfg.pos_kind,
                 ),
                 best_ckpt_path,
             )
@@ -782,6 +787,7 @@ def train(
             self_cond=cfg.self_cond,
             noise_schedule=noise_schedule,
             embed_norm=embed_norm,
+            pos_emb=cfg.pos_kind,
         ),
         final_ckpt_path,
     )

@@ -162,7 +162,8 @@ def main() -> None:
     if ckpt.get("noise_schedule", "linear") != "linear":
         sched = make_schedule(kind=ckpt["noise_schedule"])
     cfg = TransformerConfig(dim=int(embed_dim), timesteps=sched.timesteps,
-                            self_cond=self_cond)
+                            self_cond=self_cond,
+                            pos_emb=ckpt.get("pos_emb", "none"))
     parameterization = ckpt.get("parameterization", "eps")
 
     # --- generate ----------------------------------------------------------
