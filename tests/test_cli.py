@@ -162,3 +162,29 @@ class TestShakespeareCli:
              "--sampler", "ddim", "--steps", "4", *common]
         )
         assert (workdir / "samples" / "sample_0.txt").exists()
+
+
+class TestCheckpointSelfConfiguration:
+    """Sampling must not require repeating training-time flags: dim, pos
+    mode, embed_norm, parameterization, schedule all come from the ckpt."""
+
+    def test_sample_infers_embed_dim_and_modes(self, workdir, capsys):
+        common = ["--model_id", "char", "--seq_len", "16", "--n", "1"]
+        shakespeare_cli.main(
+            ["--train", "--epochs", "1", "--use_learned_embeddings",
+             "--embed_dim", "48", "--batch_size", "8", "--warmup_steps", "2",
+             "--parameterization", "x0", "--embed_norm", "zscore",
+             "--freeze_embeddings", "--pos_emb", "rope", *common]
+        )
+        capsys.readouterr()
+        # No --embed_dim / --pos_emb / --embed_norm on the sample call: the
+        # checkpoint self-configures (the reference crashes on the dim
+        # mismatch instead).
+        shakespeare_cli.main(
+            ["--sample", "--use_learned_embeddings", "--sampler", "ddim",
+             "--steps", "4", "--clamp", *common]
+        )
+        out = capsys.readouterr().out
+        assert "[ckpt] embed_dim=48 (from checkpoint)" in out
+        assert "[ckpt] pos_emb=rope (from checkpoint)" in out
+        assert (workdir / "samples" / "sample_0.txt").exists()

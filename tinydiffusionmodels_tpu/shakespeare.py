@@ -415,6 +415,20 @@ def main(argv=None) -> None:
                 import dataclasses
 
                 cfg = dataclasses.replace(cfg, self_cond=ckpt_sc)
+        if isinstance(checkpoint, dict) and "rounding_fn" in checkpoint:
+            # Infer embed_dim from the checkpoint (torch decoder layout is
+            # (vocab, dim)) so sampling a non-default-dim checkpoint does
+            # not require repeating --embed_dim. The reference would crash
+            # on the dim mismatch instead.
+            ckpt_dim = int(
+                np.asarray(checkpoint["rounding_fn"]["decoder.weight"]).shape[1]
+            )
+            if ckpt_dim != embed_dim:
+                print(f"[ckpt] embed_dim={ckpt_dim} (from checkpoint)")
+                embed_dim = ckpt_dim
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, dim=ckpt_dim)
         if isinstance(checkpoint, dict) and "diffusion_model" in checkpoint:
             diff_params = transformer_from_state_dict(
                 checkpoint["diffusion_model"]
