@@ -241,6 +241,19 @@ def main() -> None:
         "uniform_perplexity": tokenizer.vocab_size,
         **ngram_stats(token_seqs),
     }
+    # Calibrated diversity ceiling: real corpus windows at the SAME
+    # n/seq_len protocol. Measured round 3: real text at 16x64 scores
+    # distinct-2 ~0.26 — absolute diversity targets above this are
+    # miscalibrated, so report the reference value alongside.
+    rng = np.random.RandomState(args.seed)
+    ref_seqs = []
+    corpus_ids = np.asarray(tokenizer.encode(corpus[:200_000]))
+    for _ in range(len(texts)):
+        i = rng.randint(0, max(1, len(corpus_ids) - args.seq_len))
+        ref_seqs.append(corpus_ids[i:i + args.seq_len])
+    result.update({
+        f"corpus_{k}": v for k, v in ngram_stats(ref_seqs).items()
+    })
     print(json.dumps(result))
 
 
