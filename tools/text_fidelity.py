@@ -254,6 +254,21 @@ def main() -> None:
     result.update({
         f"corpus_{k}": v for k, v in ngram_stats(ref_seqs).items()
     })
+    # Memorization check: fraction of generated 8-grams that appear
+    # verbatim anywhere in the corpus (real corpus windows score 1.0 by
+    # construction; lower = more novel recombination).
+    corpus_grams = {
+        tuple(corpus_ids[i:i + 8]) for i in range(len(corpus_ids) - 7)
+    }
+    gen_grams = [
+        tuple(seq[i:i + 8])
+        for seq in token_seqs for i in range(len(seq) - 7)
+    ]
+    if gen_grams:
+        result["corpus_8gram_overlap"] = round(
+            sum(1 for g in gen_grams if g in corpus_grams) / len(gen_grams),
+            4,
+        )
     print(json.dumps(result))
 
 
