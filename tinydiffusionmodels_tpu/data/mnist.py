@@ -121,7 +121,24 @@ def load_mnist(
             "set TDM_MNIST_DIR or pass allow_synthetic=True"
         )
     n = synthetic_size if train else synthetic_size // 6
-    images, labels = _synthetic_mnist(n, seed=0 if train else 1)
+    seed = 0 if train else 1
+    # Disk cache: the per-image Python render loop takes minutes for the
+    # 60k set on one core; the output is deterministic in (n, seed).
+    cache = root / f"synthetic_mnist_{n}_{seed}.npz"
+    if cache.exists():
+        try:
+            z = np.load(cache)
+            return z["images"], z["labels"], "synthetic"
+        except Exception:
+            pass
+    images, labels = _synthetic_mnist(n, seed=seed)
+    try:
+        root.mkdir(parents=True, exist_ok=True)
+        tmp = cache.with_suffix(".tmp.npz")
+        np.savez_compressed(tmp, images=images, labels=labels)
+        os.replace(tmp, cache)
+    except Exception:
+        pass
     return images, labels, "synthetic"
 
 

@@ -79,7 +79,7 @@ def make_train_step(
 
 
 def make_train_step_multi(sched: DiffusionSchedule, tx, n_inner: int = 0,
-                          *, compute_dtype=None):
+                          *, compute_dtype=None, dataset=None):
     """Scan K optimizer steps inside ONE jitted dispatch (K = leading dim of
     the stacked batch; ``n_inner`` is advisory/documentation only).
 
@@ -94,6 +94,12 @@ def make_train_step_multi(sched: DiffusionSchedule, tx, n_inner: int = 0,
     """
 
     def loss_fn(params, batch, key):
+        if dataset is not None:
+            # Device-resident data path: ``batch`` is (B,) int32 indices
+            # into the HBM-resident dataset; the gather runs on device.
+            # Bit-identical to the host path because the same
+            # batch_iterator produces the index stream.
+            batch = jnp.take(dataset, batch, axis=0)
         b = batch.shape[0]
         t = jax.random.randint(
             substream(key, "timesteps"), (b,), 0, sched.timesteps
@@ -133,7 +139,8 @@ def ema_update(ema: dict, params: dict, decay: float) -> dict:
 
 
 def make_train_step_multi_ema(sched: DiffusionSchedule, tx, *,
-                              ema_decay: float, compute_dtype=None):
+                              ema_decay: float, compute_dtype=None,
+                              dataset=None):
     """Scan-of-steps variant that maintains an exponential moving average of
     the parameters in the same dispatch (Ho et al. 2020 sample with EMA
     weights; the reference has no EMA — framework extension):
@@ -145,6 +152,10 @@ def make_train_step_multi_ema(sched: DiffusionSchedule, tx, *,
     existing scan body, costing no extra dispatches.
     """
     def loss_fn(params, batch, key):
+        if dataset is not None:
+            # (B,) int32 indices into the HBM-resident dataset (see
+            # make_train_step_multi).
+            batch = jnp.take(dataset, batch, axis=0)
         b = batch.shape[0]
         t = jax.random.randint(
             substream(key, "timesteps"), (b,), 0, sched.timesteps
@@ -318,12 +329,32 @@ def train(
     # Scan-of-steps chunking: each dispatch runs `chunk` optimizer steps
     # (see make_train_step_multi). The remainder chunk compiles once more.
     chunk = max(1, int(os.environ.get("TDM_SCAN_CHUNK", "25")))
+    # Device-resident data (TDM_DEVICE_DATA=1/0/auto): put the whole
+    # dataset in HBM once and ship only (chunk, B) int32 index batches per
+    # dispatch. Measured motivation: on the remote-tunnel TPU, shipping
+    # image batches host->device capped MNIST training at ~36 it/s (188
+    # MB/epoch over the tunnel) vs ~1,100 it/s for the step itself; MNIST
+    # f32 is 188 MB — HBM-trivial. Batch order is bit-identical to the
+    # host path because the same batch_iterator produces the index stream.
+    dev_mode = os.environ.get("TDM_DEVICE_DATA", "auto")
+    use_device_data = dev_mode == "1" or (
+        dev_mode == "auto" and data.nbytes <= (1 << 30)
+    )
+    dataset_dev = None
+    iter_source: np.ndarray
+    if use_device_data:
+        dataset_dev = replicate_tree(mesh, jnp.asarray(data))
+        iter_source = np.arange(data.shape[0], dtype=np.int32)
+    else:
+        iter_source = data
     if ema_decay is None:
         train_multi = make_train_step_multi(sched, tx, chunk,
-                                            compute_dtype=compute_dtype)
+                                            compute_dtype=compute_dtype,
+                                            dataset=dataset_dev)
     else:
         train_multi_ema = make_train_step_multi_ema(
-            sched, tx, ema_decay=ema_decay, compute_dtype=compute_dtype
+            sched, tx, ema_decay=ema_decay, compute_dtype=compute_dtype,
+            dataset=dataset_dev,
         )
     train_key = substream(key, "train")
     # Per-chunk progress (the reference shows live tqdm it/s,
@@ -354,7 +385,9 @@ def train(
                 f"({nsteps / dt:.1f} it/s), loss~{float(loss):.4f}"
             )
 
-        for batch in batch_iterator(data, global_bs, seed=seed, epoch=epoch):
+        for batch in batch_iterator(
+            iter_source, global_bs, seed=seed, epoch=epoch
+        ):
             pending.append(batch)
             if len(pending) == chunk:
                 state, ema, loss = flush(state, ema, pending)
