@@ -1,0 +1,162 @@
+#!/usr/bin/env python3
+"""Device-op breakdown for the MNIST bf16 train step via jax.profiler.
+
+Parses the raw xplane protobuf directly (`/device:TPU:0` plane — works on
+the remote axon backend; the tensorboard_plugin_profile converters in this
+image are version-mismatched, the proto itself is not). Used to turn the
+bs=2048-conv-regression hypothesis (roofline post) into a measured per-op
+comparison (VERDICT r2 item 6).
+
+Usage: python tools/xprof_ops.py [--batches 512,2048] [--top 12]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import os
+import sys
+import tempfile
+
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from tinydiffusionmodels_tpu.runtime import (
+    configure_fast_rng,
+    enable_compile_cache,
+)
+
+enable_compile_cache()
+configure_fast_rng()  # match bench.py / the CLIs
+
+
+def _category(op_name: str, batch: int = 0) -> str:
+    """HLO event name -> stable cross-program category.
+
+    Names carry per-program ids (%fusion.123), so cross-batch comparison
+    must bucket by operation kind + operand shape signature instead."""
+    import re
+
+    name = op_name
+    if " = " in name:
+        # '%fusion.3 = f32[...] fusion(...)' -> kind from the RHS
+        lhs, rhs = name.split(" = ", 1)
+        m = re.search(r"\)[\s]*([a-z][a-z0-9-]*)", rhs)
+        kind = None
+        shape = rhs.split(" ")[0]
+        for k in ("convolution", "fusion", "copy", "all-reduce", "reduce",
+                  "custom-call", "dot", "rng", "select-and-scatter",
+                  "scatter", "dynamic-slice", "dynamic-update-slice",
+                  "slice", "transpose", "convert", "broadcast", "while"):
+            if k + "(" in rhs or rhs.startswith(k) or f" {k}(" in rhs:
+                kind = k
+                break
+        base = lhs.strip().lstrip("%").split(".")[0]
+        # strip layout/space annotations from the shape for stability
+        shape = re.sub(r"\{[^}]*\}", "", shape)
+        if batch:
+            # batch-dim-independent signature so bs512/bs2048 rows match
+            shape = re.sub(rf"\[{batch},", "[B,", shape)
+            shape = re.sub(rf"\[{batch}\]", "[B]", shape)
+        return f"{kind or base}:{shape}"
+    return name.split(".")[0]
+
+
+def device_op_totals(trace_dir: str, batch: int = 0) -> dict[str, tuple[float, int]]:
+    """{op category: (total_us, count)} from the TPU plane (deepest line
+    only, to avoid double-counting nested module/while events)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+
+    files = sorted(
+        glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb"))
+    )
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(files[-1], "rb").read())
+    totals: dict[str, list] = collections.defaultdict(lambda: [0.0, 0])
+    for plane in xs.planes:
+        if not plane.name.startswith("/device:TPU"):
+            continue
+        names = {i: m.name for i, m in plane.event_metadata.items()}
+        lines = [l for l in plane.lines if l.events]
+        if not lines:
+            continue
+        # The XLA op line is the one with the most events (module/step
+        # lines have a handful of giant enclosing events).
+        opline = max(lines, key=lambda l: len(l.events))
+        for ev in opline.events:
+            cat = _category(names.get(ev.metadata_id, "?"), batch)
+            if cat.startswith(("while:", "jit_")):
+                continue  # enclosing events double-count their children
+            t = totals[cat]
+            t[0] += ev.duration_ps / 1e6  # ps -> us
+            t[1] += 1
+    return {k: (v[0], v[1]) for k, v in totals.items()}
+
+
+def profile_step(batch: int, steps: int = 20) -> dict:
+    from tinydiffusionmodels_tpu.core import make_schedule
+    from tinydiffusionmodels_tpu.models.unet import init_unet
+    from tinydiffusionmodels_tpu.parallel import (
+        make_mesh,
+        replicate_tree,
+        shard_stacked_batch,
+    )
+    from tinydiffusionmodels_tpu.train.mnist_train import make_train_step_multi
+    from tinydiffusionmodels_tpu.train.optim import adamw
+    from tinydiffusionmodels_tpu.train.state import TrainState
+
+    sched = make_schedule()
+    tx = adamw(1e-3)
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(0)
+    params = init_unet(key)
+    state = replicate_tree(mesh, TrainState.create(params, tx))
+    step = make_train_step_multi(sched, tx, compute_dtype=jnp.bfloat16)
+    batches = shard_stacked_batch(
+        mesh,
+        jax.random.normal(key, (steps, batch, 28, 28, 1), jnp.float32),
+    )
+    state, loss = step(state, batches, key)  # compile outside the trace
+    float(loss)
+    tdir = tempfile.mkdtemp(prefix=f"xprof_bs{batch}_")
+    with jax.profiler.trace(tdir):
+        state, loss = step(state, batches, jax.random.fold_in(key, 1))
+        float(loss)
+    return device_op_totals(tdir, batch)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="512,2048")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--top", type=int, default=12)
+    args = ap.parse_args()
+    batches = [int(b) for b in args.batches.split(",")]
+
+    results = {b: profile_step(b, args.steps) for b in batches}
+    base = batches[0]
+    ops = sorted(
+        results[batches[-1]], key=lambda k: -results[batches[-1]][k][0]
+    )[: args.top]
+    scale = batches[-1] / base
+    print(f"{'op':52} " + " ".join(f"bs{b}(us)".rjust(12) for b in batches)
+          + "  x-vs-linear")
+    for op in ops:
+        row = [results[b].get(op, (0.0, 0))[0] for b in batches]
+        ratio = (row[-1] / row[0] / scale) if row[0] else float("nan")
+        flag = "  <-- superlinear" if ratio > 1.2 else ""
+        print(f"{op[:52]:52} "
+              + " ".join(f"{v:12.1f}" for v in row)
+              + f"  {ratio:5.2f}{flag}")
+    tot = [sum(v[0] for v in results[b].values()) for b in batches]
+    print(f"{'TOTAL device time':52} "
+          + " ".join(f"{v:12.1f}" for v in tot)
+          + f"  {tot[-1] / tot[0] / scale:5.2f}")
+
+
+if __name__ == "__main__":
+    main()
