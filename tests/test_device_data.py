@@ -103,3 +103,43 @@ def test_cli_train_uses_device_data(tmp_path, monkeypatch):
          "--no_epoch_samples", "--ckpt", str(tmp_path / "m.pth")]
     )
     assert os.path.exists(tmp_path / "m.pth")
+
+
+class TestSplitDecoder:
+    """Concat-free rb4 (ops.fused_resblock_split) — exact on CPU."""
+
+    def test_split_matches_concat(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tinydiffusionmodels_tpu import ops
+        from tinydiffusionmodels_tpu.models.unet import _init_resblock
+
+        key = jax.random.PRNGKey(0)
+        p = _init_resblock(key, 96, 32)
+        a = jax.random.normal(key, (2, 8, 8, 64))
+        b = jax.random.normal(jax.random.fold_in(key, 1), (2, 8, 8, 32))
+        tb = jax.random.normal(jax.random.fold_in(key, 2), (2, 1, 1, 32))
+        ref = ops.fused_resblock(jnp.concatenate([a, b], -1), p, tb)
+        split = ops.fused_resblock_split(a, b, p, tb)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(split), rtol=2e-5, atol=2e-5
+        )
+
+    def test_unet_routing_modes(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from tinydiffusionmodels_tpu.models.unet import init_unet, unet_apply
+
+        key = jax.random.PRNGKey(0)
+        p = init_unet(key)
+        x = jax.random.normal(key, (4, 28, 28, 1))
+        t = jnp.asarray([1, 2, 3, 4])
+        monkeypatch.setenv("TDM_SPLIT_DECODER", "0")
+        ref = unet_apply(p, x, t)
+        monkeypatch.setenv("TDM_SPLIT_DECODER", "1")
+        out = unet_apply(p, x, t)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(out), rtol=2e-5, atol=2e-5
+        )

@@ -14,6 +14,8 @@ concat skip (96ch) -> 96->32 -> 1x1 conv -> 1 — but TPU-native choices:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -51,6 +53,31 @@ def _resblock(p: dict, x: jax.Array, t_scaled: jax.Array) -> jax.Array:
     return ops.fused_resblock(x, p, time_bias)
 
 
+def _resblock_split(p: dict, x_a, x_b, t_scaled: jax.Array) -> jax.Array:
+    """Concat-free resblock on two channel sources (ops.fused_resblock_split)."""
+    time_bias = (t_scaled @ p["time_emb"]["w"] + p["time_emb"]["b"])[:, None, None, :]
+    return ops.fused_resblock_split(x_a, x_b, p, time_bias)
+
+
+def _split_decoder(batch: int) -> bool:
+    """TDM_SPLIT_DECODER=1/0/auto — route rb4 through the concat-free
+    resblock (same math, kernels sliced along input channels).
+
+    Measured on v5e (tools/xprof_ops.py, 20-step scan device time): the
+    split removes the concat-materialization chain that makes bs=2048
+    superlinear (1.30x -> 1.18x vs linear, -1.3%% total) but costs +9%% at
+    bs=512 where the extra conv calls outweigh the saved data movement.
+    So "auto" (default) splits only for batch >= 1024 — the batch is a
+    trace-time shape, so routing is static per compile.
+    """
+    mode = os.environ.get("TDM_SPLIT_DECODER", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    return batch >= 1024
+
+
 def _avg_pool2(x: jax.Array) -> jax.Array:
     """2x2/2 average pool via reshape-mean (cheaper for XLA than reduce_window
     on these tiny maps). Requires even H, W (28x28 -> 14x14)."""
@@ -79,6 +106,9 @@ def unet_apply(
     h2 = _resblock(params["rb2"], _avg_pool2(h1), t_scaled)         # (B,H/2,W/2,64)
     h3 = _resblock(params["rb3"], h2, t_scaled)                     # (B,H/2,W/2,64)
     h4 = _upsample_nearest2(h3)                                     # (B,H,W,64)
-    h4 = jnp.concatenate([h4, h1], axis=-1)                         # (B,H,W,96)
-    h4 = _resblock(params["rb4"], h4, t_scaled)                     # (B,H,W,32)
+    if _split_decoder(x.shape[0]):
+        h4 = _resblock_split(params["rb4"], h4, h1, t_scaled)       # (B,H,W,32)
+    else:
+        h4 = jnp.concatenate([h4, h1], axis=-1)                     # (B,H,W,96)
+        h4 = _resblock(params["rb4"], h4, t_scaled)                 # (B,H,W,32)
     return ops.conv2d(h4, params["out"]["w"], params["out"]["b"])   # (B,H,W,1)

@@ -12,6 +12,7 @@ from tinydiffusionmodels_tpu.ops.registry import (
     attention,
     conv2d,
     fused_resblock,
+    fused_resblock_split,
     get_backend,
     register_sequence_mesh,
     set_backend,
@@ -21,6 +22,7 @@ __all__ = [
     "attention",
     "conv2d",
     "fused_resblock",
+    "fused_resblock_split",
     "get_backend",
     "register_sequence_mesh",
     "set_backend",

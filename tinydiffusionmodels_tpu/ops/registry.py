@@ -93,6 +93,12 @@ def fused_resblock(x, p, time_bias):
     return _dispatch("fused_resblock")(x, p, time_bias)
 
 
+def fused_resblock_split(x_a, x_b, p, time_bias):
+    # XLA-only (no Pallas variant): the win is avoiding data movement, not
+    # manual scheduling — see ops/xla_ref.fused_resblock_split.
+    return xla_ref.fused_resblock_split(x_a, x_b, p, time_bias)
+
+
 # Sequence-parallel routing: when a model is configured with a sequence
 # axis (TransformerConfig.seq_axis), ops.attention dispatches to ring
 # attention over the mesh registered for that axis (SURVEY §5.7: ring is a

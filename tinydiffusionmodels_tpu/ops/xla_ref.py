@@ -56,6 +56,44 @@ def fused_resblock(
     return h + x
 
 
+def fused_resblock_split(
+    x_a: jax.Array,
+    x_b: jax.Array,
+    p: dict,
+    time_bias: jax.Array,
+) -> jax.Array:
+    """fused_resblock on the channel-concatenation of two sources, WITHOUT
+    materializing the concat: conv(cat(a, b)) == conv_a(a) + conv_b(b) with
+    the kernel split along input channels (exact, not approximate).
+
+    Why: the UNet decoder consumes cat(upsample(h3), h1) (96 ch,
+    models/unet.py; reference src/mnist.py:82-84). A device-op profile
+    (tools/xprof_ops.py, roofline post round-3 update) showed the bs=2048
+    regression lives in exactly this data-movement chain — the concat
+    input fusion (1.44x vs linear), its feeding slice (2.0x) and the
+    upsample broadcast (6.4x) — while every conv scales linearly. Feeding
+    the sources separately removes the concat materialization and lets
+    XLA fuse the upsample broadcast into the first conv's operand.
+    """
+    ca = x_a.shape[-1]
+    w1 = p["conv1"]["w"]
+    h = jax.nn.relu(
+        conv2d(x_a, w1[:, :, :ca], None)
+        + conv2d(x_b, w1[:, :, ca:], p["conv1"]["b"])
+    )
+    h = h + time_bias
+    h = jax.nn.relu(conv2d(h, p["conv2"]["w"], p["conv2"]["b"]))
+    if p.get("skip") is not None:
+        ws = p["skip"]["w"]
+        x = (
+            conv2d(x_a, ws[:, :, :ca], None)
+            + conv2d(x_b, ws[:, :, ca:], p["skip"]["b"])
+        )
+    else:
+        x = jnp.concatenate([x_a, x_b], axis=-1)
+    return h + x
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
