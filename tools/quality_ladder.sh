@@ -1,68 +1,50 @@
 #!/bin/bash
-# Round-3 text-quality ladder (VERDICT r2 item 1).
-# Trains dim-512 checkpoints stacking the round's levers, evals each with
-# tools/text_fidelity.py (pure sampling + clamp), appends JSONL results.
-# Usage: bash tools/quality_ladder.sh [results_path]
+# Text-quality ladder runner: train a named configuration of the
+# shakespeare CLI and judge it with tools/text_fidelity.py, appending one
+# JSON line per config to runs/ladder_r3.jsonl.
+#
+# Round 3 ran 21 configurations through this harness (results:
+# runs/ladder_r3.jsonl; writeup: docs/.../2026-08-17-embedding-scale.md).
+# The winning stack:
+#   bash tools/quality_ladder.sh r3_rope6_512 --depth 6 --epochs 200
+# on top of COMMON below (x0 + EMA + zscore + frozen embeddings + rope).
+#
+# Usage:
+#   bash tools/quality_ladder.sh NAME [extra CLI flags...]
+#   LADDER_COMMON="..." bash tools/quality_ladder.sh NAME ...  # override
 set -u
 cd "$(dirname "$0")/.."
-OUT="${1:-runs/ladder_r3.jsonl}"
+OUT="runs/ladder_r3.jsonl"
 mkdir -p runs
-COMMON="--train --epochs 100 --batch_size 8 --seq_len 64 \
+COMMON=${LADDER_COMMON:-"--train --epochs 200 --batch_size 8 --seq_len 64 \
   --use_learned_embeddings --embed_dim 512 --model_id char \
-  --parameterization x0 --ema_decay 0.999"
+  --parameterization x0 --ema_decay 0.999 --patience 30 \
+  --embed_norm zscore --freeze_embeddings --pos_emb rope"}
 
-run_one() {
-  name="$1"; shift
-  ckpt="runs/${name}.pth"
-  if grep -q "\"name\": \"$name\"" "$OUT" 2>/dev/null; then
-    echo "=== $name: already evaluated, skipping ==="
-    return 0
-  fi
-  if [ -f "$ckpt" ]; then
-    echo "=== $name: checkpoint exists, skipping train ==="
-  else
-    echo "=== $name: training ($*) ==="
-    timeout 5400 python -m tinydiffusionmodels_tpu.shakespeare $COMMON \
-      --ckpt "$ckpt" "$@" > "runs/${name}.train.log" 2>&1
-    rc=$?
-    if [ $rc -ne 0 ]; then
-      echo "{\"name\": \"$name\", \"error\": \"train rc=$rc\"}" >> "$OUT"
-      return 1
-    fi
-  fi
-  echo "=== $name: fidelity eval ==="
-  timeout 3600 python tools/text_fidelity.py --ckpt "$ckpt" --clamp --n 16 \
-    > "runs/${name}.fid.json" 2> "runs/${name}.fid.log"
-  rc=$?
-  if [ $rc -ne 0 ]; then
-    echo "{\"name\": \"$name\", \"error\": \"fid rc=$rc\"}" >> "$OUT"
-    return 1
-  fi
-  python - "$name" "runs/${name}.fid.json" "$OUT" <<'EOF'
+name="$1"; shift
+ckpt="runs/${name}.pth"
+if grep -q "\"name\": \"$name\"" "$OUT" 2>/dev/null; then
+  echo "=== $name: already evaluated ==="
+  exit 0
+fi
+if [ ! -f "$ckpt" ]; then
+  echo "=== $name: training ($*) ==="
+  timeout 7200 python -m tinydiffusionmodels_tpu.shakespeare $COMMON \
+    --ckpt "$ckpt" "$@" > "runs/${name}.train.log" 2>&1 || {
+    echo "{\"name\": \"$name\", \"error\": \"train failed\"}" >> "$OUT"
+    exit 1
+  }
+fi
+echo "=== $name: fidelity eval ==="
+timeout 3600 python tools/text_fidelity.py --ckpt "$ckpt" --clamp --n 16 \
+  2> "runs/${name}.fid.log" | grep '^{' | tail -1 > "runs/${name}.fid.json"
+python - "$name" <<'EOF'
 import json, sys
-name, fid_path, out = sys.argv[1:4]
-# stdout carries progress/warning lines before the JSON; take the last
-# line that parses.
-fid = None
-for line in open(fid_path):
-    line = line.strip()
-    if line.startswith("{"):
-        try:
-            fid = json.loads(line)
-        except json.JSONDecodeError:
-            pass
-assert fid is not None, f"no JSON line in {fid_path}"
+name = sys.argv[1]
+fid = json.load(open(f"runs/{name}.fid.json"))
 fid["name"] = name
-with open(out, "a") as f:
-    f.write(json.dumps(fid) + "\n")
+open("runs/ladder_r3.jsonl", "a").write(json.dumps(fid) + "\n")
 print(name, "->", {k: fid.get(k) for k in
-      ("lm_perplexity", "corpus_perplexity", "distinct_2", "dup_8gram_rate")})
+      ("lm_perplexity", "distinct_2", "dup_8gram_rate",
+       "corpus_8gram_overlap")})
 EOF
-}
-
-run_one r3_base512 || true
-run_one r3_sc512 --self_cond || true
-run_one r3_sc_ct512 --self_cond --clamp_train || true
-run_one r3_sc_ct_sqrt512 --self_cond --clamp_train --noise_schedule sqrt || true
-echo "=== ladder done ==="
-cat "$OUT"
