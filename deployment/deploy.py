@@ -37,6 +37,9 @@ JOB_TYPES = (
     # Framework extension: sequence-parallel long-context training
     # (ring attention over the v5e-8 ICI).
     "shakespeare-training-sp",
+    # Framework extension: the round-3 measured-best quality stack
+    # (x0 + zscore + frozen embeddings + RoPE + EMA, depth 6).
+    "shakespeare-training-quality",
 )
 
 
