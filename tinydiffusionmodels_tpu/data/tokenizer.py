@@ -73,6 +73,139 @@ class CharTokenizer:
         return tok
 
 
+class BPETokenizer:
+    """Hermetic byte-pair-encoding tokenizer trained on the corpus.
+
+    Framework extension: the reference's only subword option is a gated HF
+    tokenizer (src/shakespeare.py:508); this trains standard word-internal
+    BPE merges locally (deterministic, no downloads), giving the text
+    stack a subword operating point — the regime the original Diffusion-LM
+    actually works in. Tokens are literal strings; a leading space is part
+    of the token (GPT-2 style word boundary).
+    """
+
+    BOS_ID = 0
+
+    def __init__(self, vocab: list[str], merges: list[tuple[str, str]]):
+        self._itos = ["\x02"] + vocab
+        self._stoi = {t: i for i, t in enumerate(self._itos)}
+        self._ranks = {m: r for r, m in enumerate(merges)}
+        self._merges = merges
+        self._cache: dict[str, list[str]] = {}
+        self.vocab_size = len(self._itos)
+        self.bos_token_id = self.BOS_ID
+        self.eos_token_id = self.BOS_ID
+
+    # -- training ---------------------------------------------------------
+    @classmethod
+    def train(cls, corpus: str, vocab_size: int = 512) -> "BPETokenizer":
+        import collections
+        import re
+
+        words = collections.Counter(re.findall(r"\s?\S+|\s+", corpus))
+        # word -> tuple of symbols (chars initially)
+        table = {w: tuple(w) for w in words}
+        base = sorted({c for w in words for c in w})
+        merges: list[tuple[str, str]] = []
+        vocab = set(base)
+        while len(vocab) + 1 < vocab_size:  # +1 for BOS
+            pairs: collections.Counter = collections.Counter()
+            for w, syms in table.items():
+                n = words[w]
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += n
+            if not pairs:
+                break
+            # Deterministic: max count, ties broken lexicographically.
+            (a, b), _ = max(
+                pairs.items(), key=lambda kv: (kv[1], kv[0])
+            )
+            merges.append((a, b))
+            vocab.add(a + b)
+            new_table = {}
+            for w, syms in table.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_table[w] = tuple(out)
+            table = new_table
+        return cls(sorted(vocab), merges)
+
+    # -- encode/decode ----------------------------------------------------
+    def _bpe_word(self, word: str) -> list[str]:
+        if word in self._cache:
+            return self._cache[word]
+        syms = list(word)
+        while len(syms) > 1:
+            best, best_rank, best_i = None, None, -1
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                r = self._ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank, best_i = pair, r, i
+            if best is None:
+                break
+            syms[best_i:best_i + 2] = [best[0] + best[1]]
+        self._cache[word] = syms
+        return syms
+
+    def encode(self, text: str) -> np.ndarray:
+        import re
+
+        ids = []
+        for word in re.findall(r"\s?\S+|\s+", text):
+            for sym in self._bpe_word(word):
+                i = self._stoi.get(sym)
+                if i is None:  # unseen char: emit known chars one by one
+                    ids.extend(
+                        self._stoi[c] for c in sym if c in self._stoi
+                    )
+                else:
+                    ids.append(i)
+        return np.array(ids, dtype=np.int64)
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return "".join(
+            self._itos[int(i)]
+            for i in ids
+            if 0 < int(i) < self.vocab_size
+        )
+
+    def batch_decode(self, ids, skip_special_tokens: bool = True) -> list[str]:
+        return [self.decode(row) for row in np.asarray(ids)]
+
+    # -- checkpoint state -------------------------------------------------
+    def state(self) -> dict:
+        return {
+            "kind": "bpe",
+            "vocab": "\x00".join(self._itos[1:]),
+            "merges": "\x00".join(a + "\x01" + b for a, b in self._merges),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "BPETokenizer":
+        vocab = state["vocab"].split("\x00") if state["vocab"] else []
+        merges = [
+            tuple(m.split("\x01"))
+            for m in state["merges"].split("\x00")
+            if m
+        ]
+        return cls(vocab, merges)
+
+
+def tokenizer_from_state(state: dict):
+    """Rebuild a checkpoint-stored tokenizer (kind-dispatched; legacy
+    states without a 'kind' key are char vocabularies)."""
+    if state.get("kind") == "bpe":
+        return BPETokenizer.from_state(state)
+    return CharTokenizer.from_state(state)
+
+
 class HFTokenizerAdapter:
     """Thin adapter over a HuggingFace tokenizer."""
 
@@ -98,10 +231,13 @@ class HFTokenizerAdapter:
 
 
 def get_tokenizer(model_id: str | None, corpus: str):
-    """HF tokenizer for ``model_id`` if loadable, else CharTokenizer.
-
-    Returns (tokenizer, kind) with kind in {'hf', 'char'}.
+    """Tokenizer for ``model_id``: 'char', 'bpe[:VOCAB]' (hermetic,
+    trained on the corpus), or an HF id if loadable — falling back to
+    chars. Returns (tokenizer, kind) with kind in {'hf', 'bpe', 'char'}.
     """
+    if model_id and model_id.split(":")[0] == "bpe":
+        vocab = int(model_id.split(":")[1]) if ":" in model_id else 512
+        return BPETokenizer.train(corpus, vocab), "bpe"
     if model_id and model_id != "char":
         try:
             from transformers import AutoTokenizer  # type: ignore

@@ -234,7 +234,11 @@ def main(argv=None) -> None:
     from tinydiffusionmodels_tpu.core import make_schedule
     from tinydiffusionmodels_tpu.core.rng import substream
     from tinydiffusionmodels_tpu.data import load_text_corpus, tokenize_corpus
-    from tinydiffusionmodels_tpu.data.tokenizer import CharTokenizer
+    from tinydiffusionmodels_tpu.data.tokenizer import (
+        BPETokenizer,
+        CharTokenizer,
+        tokenizer_from_state,
+    )
     from tinydiffusionmodels_tpu.io import load_checkpoint, save_checkpoint
     from tinydiffusionmodels_tpu.io.checkpoint import (
         embedding_from_state_dict,
@@ -256,7 +260,8 @@ def main(argv=None) -> None:
 
     # --- tokenizer / pretrained-matrix resolution -------------------------
     hf_tok, pretrained_matrix, torch_lm = (None, None, None)
-    if args.model_id and args.model_id != "char":
+    is_bpe = bool(args.model_id) and args.model_id.split(":")[0] == "bpe"
+    if args.model_id and args.model_id != "char" and not is_bpe:
         hf_tok, pretrained_matrix, torch_lm = _load_hf(args.model_id)
 
     corpus, corpus_source = load_text_corpus(args.data_root)
@@ -265,9 +270,20 @@ def main(argv=None) -> None:
     data_limit = int(os.environ.get("TDM_DATA_LIMIT", "0"))
     if data_limit:
         corpus = corpus[:data_limit]
-    tokenizer = hf_tok if hf_tok is not None else CharTokenizer(corpus)
+    if hf_tok is not None:
+        tokenizer = hf_tok
+    elif is_bpe:
+        # Hermetic subword option (--model_id bpe[:VOCAB]): BPE merges
+        # trained on the corpus, no downloads.
+        vocab = (int(args.model_id.split(":")[1])
+                 if ":" in args.model_id else 512)
+        tokenizer = BPETokenizer.train(corpus, vocab)
+        print(f"[tok] trained corpus BPE (vocab={tokenizer.vocab_size})")
+    else:
+        tokenizer = CharTokenizer(corpus)
     tokenizer_state = (
-        tokenizer.state() if isinstance(tokenizer, CharTokenizer) else None
+        tokenizer.state()
+        if isinstance(tokenizer, (CharTokenizer, BPETokenizer)) else None
     )
     vocab_size = tokenizer.vocab_size
 
@@ -443,7 +459,7 @@ def main(argv=None) -> None:
                       "checkpoint. Using pre-trained fallback.")
                 use_learned_embeddings = False
             if "tokenizer" in checkpoint and hf_tok is None:
-                tokenizer = CharTokenizer.from_state(checkpoint["tokenizer"])
+                tokenizer = tokenizer_from_state(checkpoint["tokenizer"])
         else:
             # Old single-model checkpoint (reference src/shakespeare.py:556-562).
             diff_params = transformer_from_state_dict(checkpoint)

@@ -114,7 +114,10 @@ def main() -> None:
     from tinydiffusionmodels_tpu.core.rng import substream
     from tinydiffusionmodels_tpu.data.loader import tokenize_corpus
     from tinydiffusionmodels_tpu.data.shakespeare import load_text_corpus
-    from tinydiffusionmodels_tpu.data.tokenizer import CharTokenizer
+    from tinydiffusionmodels_tpu.data.tokenizer import (
+        CharTokenizer,
+        tokenizer_from_state,
+    )
     from tinydiffusionmodels_tpu.io import load_checkpoint, save_checkpoint
     from tinydiffusionmodels_tpu.io.checkpoint import (
         embedding_from_state_dict,
@@ -142,7 +145,7 @@ def main() -> None:
     if not (isinstance(ckpt, dict) and "diffusion_model" in ckpt):
         raise SystemExit("text_fidelity needs a dict-format text checkpoint")
     tokenizer = (
-        CharTokenizer.from_state(ckpt["tokenizer"])
+        tokenizer_from_state(ckpt["tokenizer"])
         if "tokenizer" in ckpt else CharTokenizer(corpus)
     )
     diff_params = transformer_from_state_dict(ckpt["diffusion_model"])
