@@ -281,6 +281,16 @@ def _load_or_train_lm(args, corpus, tokenizer, lm_cfg, tokenize_corpus,
     if os.path.exists(args.lm_ckpt):
         try:
             params = tree_to_jax(load_checkpoint(args.lm_ckpt)["params"])
+            if params["tok_emb"].shape[0] != lm_cfg.vocab_size:
+                raise ValueError(
+                    f"cached judge vocab {params['tok_emb'].shape[0]} != "
+                    f"tokenizer vocab {lm_cfg.vocab_size}"
+                )
+            if params["pos_emb"].shape[0] < lm_cfg.max_len:
+                raise ValueError(
+                    f"cached judge max_len {params['pos_emb'].shape[0]} < "
+                    f"required {lm_cfg.max_len}"
+                )
             print(f"[lm] loaded TinyGPT from {args.lm_ckpt}", file=sys.stderr)
             return params
         except Exception as e:  # wrong vocab/shape -> retrain
