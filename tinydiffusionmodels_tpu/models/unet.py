@@ -65,7 +65,7 @@ def _split_decoder(batch: int) -> bool:
 
     Measured on v5e (tools/xprof_ops.py, 20-step scan device time): the
     split removes the concat-materialization chain that makes bs=2048
-    superlinear (1.30x -> 1.18x vs linear, -1.3%% total) but costs +9%% at
+    superlinear (1.30x -> 1.18x vs linear, -1.3% total) but costs +9% at
     bs=512 where the extra conv calls outweigh the saved data movement.
     So "auto" (default) splits only for batch >= 1024 — the batch is a
     trace-time shape, so routing is static per compile.
