@@ -92,16 +92,27 @@ class TestPreemptionResume:
             "--resume", "--resume_every", "1",
         ]
 
+        # Victim output goes to a FILE, not an undrained PIPE: XLA's CPU
+        # AOT cache loader emits a ~1.8 KB machine-feature warning per
+        # cache-loaded executable, so a warm .jax_cache pushes the victim
+        # past the 64 KB pipe buffer and it deadlocks on a blocked write
+        # before ever checkpointing (this bit only when the suite had
+        # populated the cache — run 1 green, run 2 red).
+        victim_log = tmp_path / "victim.log"
         victim = subprocess.Popen(
             args, cwd=repo, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            stdout=open(victim_log, "w"), stderr=subprocess.STDOUT,
+            text=True,
         )
-        # Preempt as soon as the first resume checkpoint lands.
-        deadline = time.time() + 420
+        # Preempt as soon as the first resume checkpoint lands (generous:
+        # the drill tests resume correctness, not startup latency).
+        deadline = time.time() + 900
         while time.time() < deadline and not resume_path.exists():
             if victim.poll() is not None:
-                out = victim.stdout.read()
-                pytest.fail(f"training exited before checkpointing:\n{out}")
+                pytest.fail(
+                    "training exited before checkpointing:\n"
+                    + victim_log.read_text()
+                )
             time.sleep(0.5)
         if not resume_path.exists():
             victim.kill()
@@ -112,7 +123,7 @@ class TestPreemptionResume:
 
         out = subprocess.run(
             args, cwd=repo, env=env, capture_output=True, text=True,
-            timeout=900,
+            timeout=1200,
         )
         assert out.returncode == 0, out.stdout + out.stderr
         assert "[resume] restored epoch" in out.stdout
