@@ -218,17 +218,17 @@ def _cast_weights(params, depth):
     the V=4096 config sits 18.5 KB from the VMEM stack limit with f32
     vectors; compute still accumulates in f32."""
     bf = lambda a: jnp.asarray(a, jnp.bfloat16)
-    f32 = lambda a: jnp.asarray(a, jnp.bfloat16).reshape(1, -1)
+    vec = lambda a: jnp.asarray(a, jnp.bfloat16).reshape(1, -1)
     flat = []
     for i in range(depth):
         blk = params["blocks"][i]
         flat += [
-            f32(blk["ln1"]["scale"]), f32(blk["ln1"]["bias"]),
-            bf(blk["attn"]["qkv"]["w"]), f32(blk["attn"]["qkv"]["b"]),
-            bf(blk["attn"]["proj"]["w"]), f32(blk["attn"]["proj"]["b"]),
-            f32(blk["ln2"]["scale"]), f32(blk["ln2"]["bias"]),
-            bf(blk["mlp"]["fc"]["w"]), f32(blk["mlp"]["fc"]["b"]),
-            bf(blk["mlp"]["proj"]["w"]), f32(blk["mlp"]["proj"]["b"]),
+            vec(blk["ln1"]["scale"]), vec(blk["ln1"]["bias"]),
+            bf(blk["attn"]["qkv"]["w"]), vec(blk["attn"]["qkv"]["b"]),
+            bf(blk["attn"]["proj"]["w"]), vec(blk["attn"]["proj"]["b"]),
+            vec(blk["ln2"]["scale"]), vec(blk["ln2"]["bias"]),
+            bf(blk["mlp"]["fc"]["w"]), vec(blk["mlp"]["fc"]["b"]),
+            bf(blk["mlp"]["proj"]["w"]), vec(blk["mlp"]["proj"]["b"]),
         ]
     return flat
 

@@ -7,6 +7,11 @@ shape in isolation across batch sizes (chained-delta timing, so tunnel
 dispatch is excluded) and prints achieved TFLOP/s per conv — turning the
 "suspected" into "measured".
 
+Measured caveat: at these op sizes the chained-delta has ~2x run-to-run
+variance on the tunnel (two identical-shape convs disagreed 2x in one
+run), so treat per-op deltas as indicative only — tools/xprof_ops.py's
+device-plane totals are the trustworthy per-op comparison.
+
 Usage: python tools/conv_profile.py [--dtype bf16]
 """
 

@@ -45,7 +45,6 @@ def _category(op_name: str, batch: int = 0) -> str:
     if " = " in name:
         # '%fusion.3 = f32[...] fusion(...)' -> kind from the RHS
         lhs, rhs = name.split(" = ", 1)
-        m = re.search(r"\)[\s]*([a-z][a-z0-9-]*)", rhs)
         kind = None
         shape = rhs.split(" ")[0]
         for k in ("convolution", "fusion", "copy", "all-reduce", "reduce",
