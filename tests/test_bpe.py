@@ -59,3 +59,40 @@ def test_determinism():
     a = BPETokenizer.train(CORPUS, 80)
     b = BPETokenizer.train(CORPUS, 80)
     assert a.state() == b.state()
+
+
+def test_control_chars_in_corpus_roundtrip():
+    # \x00/\x01 corrupted the legacy joined-string state format and a
+    # literal \x02 shadowed the BOS row; train() now strips them and
+    # state() is JSON (ADVICE r3).
+    dirty = CORPUS + "\x00abc\x01def\x02ghi "
+    tok = BPETokenizer.train(dirty, 96)
+    assert all("\x00" not in s and "\x01" not in s for s in tok._itos[1:])
+    assert tok._stoi["\x02"] == tok.bos_token_id  # BOS row not shadowed
+    tok2 = tokenizer_from_state(tok.state())
+    text = "the quick fox barks."
+    np.testing.assert_array_equal(tok.encode(text), tok2.encode(text))
+
+
+def test_legacy_separator_state_still_loads():
+    tok = BPETokenizer.train(CORPUS, 80)
+    legacy = {
+        "kind": "bpe",
+        "vocab": "\x00".join(tok._itos[1:]),
+        "merges": "\x00".join(a + "\x01" + b for a, b in tok._merges),
+    }
+    tok2 = tokenizer_from_state(legacy)
+    text = "the lazy dog runs away."
+    np.testing.assert_array_equal(tok.encode(text), tok2.encode(text))
+
+
+def test_parse_bpe_spec_errors():
+    import pytest
+
+    from tinydiffusionmodels_tpu.data.tokenizer import parse_bpe_spec
+
+    assert parse_bpe_spec("bpe") == 512
+    assert parse_bpe_spec("bpe:128") == 128
+    for bad in ("bpe:", "bpe:abc", "bpe:1", "bpe:64:9"):
+        with pytest.raises(SystemExit, match="bpe"):
+            parse_bpe_spec(bad)

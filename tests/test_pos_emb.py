@@ -73,6 +73,18 @@ def test_pos_emb_truncates_to_sequence_length():
     assert out.shape == (1, 5, 16)
 
 
+def test_pos_emb_over_length_raises_clear_error():
+    # Sampling longer than the trained abs-posenc table must fail with an
+    # actionable message, not an opaque in-jit broadcast error (ADVICE r3).
+    import pytest
+
+    p = init_tiny_transformer(jax.random.PRNGKey(0), CFG)
+    max_len = p["pos_emb"].shape[0]
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, max_len + 3, 16))
+    with pytest.raises(ValueError, match="absolute-position table"):
+        tiny_transformer_apply(p, x, jnp.asarray([0]), CFG)
+
+
 def test_rope_breaks_permutation_but_adds_no_params():
     cfg = TransformerConfig(dim=16, n_heads=2, depth=1, ffn_dim=32,
                             dropout=0.0, timesteps=10, pos_emb="rope")

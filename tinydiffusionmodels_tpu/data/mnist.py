@@ -62,6 +62,11 @@ def _find_idx(root: Path, base: str) -> Path | None:
     return None
 
 
+# Bump whenever _synthetic_mnist's output changes for the same (n, seed),
+# so stale disk caches are not silently served.
+_SYNTH_RENDERER_VERSION = 1
+
+
 def _synthetic_mnist(n: int, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic digit-like images: scaled bitmap font + jitter + noise."""
     rng = np.random.default_rng(seed)
@@ -124,7 +129,16 @@ def load_mnist(
     seed = 0 if train else 1
     # Disk cache: the per-image Python render loop takes minutes for the
     # 60k set on one core; the output is deterministic in (n, seed).
-    cache = root / f"synthetic_mnist_{n}_{seed}.npz"
+    # v-tag guards against serving stale sets if _synthetic_mnist's
+    # renderer ever changes — bump _SYNTH_RENDERER_VERSION with it.
+    cache = root / f"synthetic_mnist_v{_SYNTH_RENDERER_VERSION}_{n}_{seed}.npz"
+    legacy = root / f"synthetic_mnist_{n}_{seed}.npz"
+    if (
+        not cache.exists()
+        and _SYNTH_RENDERER_VERSION == 1
+        and legacy.exists()
+    ):
+        cache = legacy  # pre-versioning cache; renderer unchanged since
     if cache.exists():
         try:
             z = np.load(cache)

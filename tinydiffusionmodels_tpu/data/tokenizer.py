@@ -102,6 +102,11 @@ class BPETokenizer:
         import collections
         import re
 
+        # \x02 is the reserved BOS string; a literal one in the corpus
+        # would shadow the BOS row in _stoi. (\x00/\x01 no longer matter
+        # for serialization — state() is JSON now — but strip them too so
+        # vocab entries stay printable-ish.)
+        corpus = corpus.translate({0: None, 1: None, 2: None})
         words = collections.Counter(re.findall(r"\s?\S+|\s+", corpus))
         # word -> tuple of symbols (chars initially)
         table = {w: tuple(w) for w in words}
@@ -181,20 +186,32 @@ class BPETokenizer:
 
     # -- checkpoint state -------------------------------------------------
     def state(self) -> dict:
+        # JSON lists: safe for any corpus content (the legacy \x00/\x01
+        # joined-string format silently corrupted on control characters).
+        import json
+
         return {
             "kind": "bpe",
-            "vocab": "\x00".join(self._itos[1:]),
-            "merges": "\x00".join(a + "\x01" + b for a, b in self._merges),
+            "vocab": json.dumps(self._itos[1:]),
+            "merges": json.dumps(self._merges),
         }
 
     @classmethod
     def from_state(cls, state: dict) -> "BPETokenizer":
-        vocab = state["vocab"].split("\x00") if state["vocab"] else []
-        merges = [
-            tuple(m.split("\x01"))
-            for m in state["merges"].split("\x00")
-            if m
-        ]
+        import json
+
+        try:  # round-4+ JSON format
+            vocab = json.loads(state["vocab"]) if state["vocab"] else []
+            merges = [tuple(m) for m in json.loads(state["merges"])]
+        except (json.JSONDecodeError, TypeError):
+            # legacy (round-3 checkpoints): \x00-joined vocab,
+            # \x00-joined "a\x01b" merge pairs
+            vocab = state["vocab"].split("\x00") if state["vocab"] else []
+            merges = [
+                tuple(m.split("\x01"))
+                for m in state["merges"].split("\x00")
+                if m
+            ]
         return cls(vocab, merges)
 
 
@@ -230,13 +247,30 @@ class HFTokenizerAdapter:
         )
 
 
+def parse_bpe_spec(model_id: str) -> int:
+    """Parse a ``bpe`` / ``bpe:VOCAB`` model-id into a vocab size, with a
+    usable error message (shared by get_tokenizer and the shakespeare CLI).
+    """
+    parts = model_id.split(":")
+    try:
+        vocab = int(parts[1]) if len(parts) > 1 else 512
+        if len(parts) > 2 or vocab < 2:
+            raise ValueError
+    except ValueError:
+        raise SystemExit(
+            f"--model_id {model_id!r}: expected 'bpe' or 'bpe:VOCAB' with "
+            "an integer VOCAB >= 2 (e.g. bpe:512)"
+        )
+    return vocab
+
+
 def get_tokenizer(model_id: str | None, corpus: str):
     """Tokenizer for ``model_id``: 'char', 'bpe[:VOCAB]' (hermetic,
     trained on the corpus), or an HF id if loadable — falling back to
     chars. Returns (tokenizer, kind) with kind in {'hf', 'bpe', 'char'}.
     """
     if model_id and model_id.split(":")[0] == "bpe":
-        vocab = int(model_id.split(":")[1]) if ":" in model_id else 512
+        vocab = parse_bpe_spec(model_id)
         return BPETokenizer.train(corpus, vocab), "bpe"
     if model_id and model_id != "char":
         try:

@@ -232,6 +232,15 @@ def tiny_transformer_apply(
     x = x + time_bias
     if "pos_emb" in params:
         # Keyed on params (not cfg) so checkpoints self-configure at load.
+        # Shapes are static under jit, so this raises at trace time with a
+        # clear message instead of an opaque broadcast error.
+        if x.shape[1] > params["pos_emb"].shape[0]:
+            raise ValueError(
+                f"seq_len {x.shape[1]} exceeds the absolute-position table "
+                f"trained for max_len={params['pos_emb'].shape[0]}; sample "
+                "with a shorter --seq_len, or train with --pos_emb rope "
+                "for length extrapolation"
+            )
         x = x + params["pos_emb"][: x.shape[1]][None].astype(x.dtype)
     if cfg.self_cond:
         if x0_prev is not None:

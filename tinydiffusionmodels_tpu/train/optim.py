@@ -57,6 +57,31 @@ def adamw(
     )
 
 
+def freeze_subtree(
+    tx: optax.GradientTransformation, name: str
+) -> optax.GradientTransformation:
+    """Zero every update to the top-level param subtree ``name``.
+
+    Used for --freeze_embeddings: stop_gradient alone leaves AdamW's
+    *decoupled* weight decay active (zero-grad params still shrink by
+    lr*wd each step), so the "frozen" table would drift. Zeroing the
+    final update — rather than optax.masked — keeps the optimizer-state
+    pytree structure identical, so resume from pre-fix checkpoints works.
+    """
+
+    def update(grads, state, params=None):
+        updates, new_state = tx.update(grads, state, params)
+        if isinstance(updates, dict) and name in updates:
+            import jax
+            import jax.numpy as jnp
+
+            updates = dict(updates)
+            updates[name] = jax.tree.map(jnp.zeros_like, updates[name])
+        return updates, new_state
+
+    return optax.GradientTransformation(tx.init, update)
+
+
 def dynamic_rounding_weight_schedule(
     epoch: int,
     total_epochs: int,

@@ -51,6 +51,7 @@ from tinydiffusionmodels_tpu.train.optim import (
     adamw,
     cosine_schedule_with_warmup,
     dynamic_rounding_weight_schedule,
+    freeze_subtree,
 )
 from tinydiffusionmodels_tpu.train.precision import cast_floating
 from tinydiffusionmodels_tpu.train.state import TrainState
@@ -508,6 +509,10 @@ def train(
         else lr
     )
     tx = adamw(lr_sched, weight_decay=weight_decay)
+    if freeze_embeddings and use_learned_embeddings:
+        # stop_gradient zeroes the grad, but AdamW's decoupled weight decay
+        # would still shrink the table each step; hard-zero its updates.
+        tx = freeze_subtree(tx, "embedding_fn")
 
     if mesh is None:
         mesh = make_mesh()
