@@ -119,6 +119,68 @@ class TestShakespeareCli:
         )
         assert (workdir / "samples" / "sample_0.txt").exists()
 
+    def test_train_dp_x_sp(self, workdir, eight_devices):
+        """--seq_parallel 2 builds the combined {'data': 4, 'seq': 2} mesh:
+        batch sharded AND ring attention active (VERDICT r3 item 5)."""
+        shakespeare_cli.main(
+            ["--train", "--epochs", "1", "--warmup_steps", "2",
+             "--batch_size", "8", "--use_learned_embeddings",
+             "--seq_parallel", "2", "--model_id", "char",
+             "--seq_len", "16", "--embed_dim", "32",
+             "--ckpt", "dpsp_ckpt.pth"]
+        )
+        assert (workdir / "dpsp_ckpt.pth").exists()
+
+    def test_seq_parallel_batch_divisibility(self, workdir, eight_devices):
+        with pytest.raises(SystemExit, match="not divisible"):
+            shakespeare_cli.main(
+                ["--train", "--epochs", "1", "--batch_size", "3",
+                 "--use_learned_embeddings", "--seq_parallel", "2",
+                 "--model_id", "char", "--seq_len", "16",
+                 "--embed_dim", "32"]
+            )
+
+    def test_guided_sample_stale_lm_ckpt_retrains(self, workdir, capsys):
+        """A cached base-LM trained under a different tokenizer (char-54 LM
+        vs a bpe-96 diffusion checkpoint) must be rejected and retrained,
+        not crash in the jitted guided mix (regression, round 4)."""
+        common = ["--seq_len", "16", "--embed_dim", "32",
+                  "--batch_size", "8", "--n", "2"]
+        # Char run first: leaves a char-vocab lm_ckpt.pth behind.
+        shakespeare_cli.main(
+            ["--train", "--epochs", "1", "--use_learned_embeddings",
+             "--warmup_steps", "2", "--model_id", "char",
+             "--ckpt", "char_ckpt.pth", *common]
+        )
+        shakespeare_cli.main(
+            ["--guided_sample", "--use_learned_embeddings",
+             "--base_lm", "tinygpt", "--lm_epochs", "1",
+             "--sampler", "ddim", "--steps", "4",
+             "--model_id", "char", "--ckpt", "char_ckpt.pth", *common]
+        )
+        assert (workdir / "lm_ckpt.pth").exists()
+        # BPE run against the SAME lm_ckpt.pth: vocab mismatch -> retrain.
+        shakespeare_cli.main(
+            ["--train", "--epochs", "1", "--use_learned_embeddings",
+             "--warmup_steps", "2", "--model_id", "bpe:96",
+             "--ckpt", "bpe_ckpt.pth", *common]
+        )
+        capsys.readouterr()
+        # Sample with --model_id char (the hermetic default fallback): the
+        # CLI starts from the char-54 tokenizer, must re-sync vocab_size to
+        # the checkpoint's BPE-96 tokenizer, and must reject the cached
+        # char-vocab base LM instead of crashing in the guided mix.
+        shakespeare_cli.main(
+            ["--guided_sample", "--use_learned_embeddings",
+             "--base_lm", "tinygpt", "--lm_epochs", "1",
+             "--sampler", "ddim", "--steps", "4",
+             "--model_id", "char", "--ckpt", "bpe_ckpt.pth", *common]
+        )
+        out = capsys.readouterr().out
+        assert "vocab_size=96" in out        # ckpt tokenizer re-synced
+        assert "could not load" in out       # stale LM rejected
+        assert (workdir / "samples" / "guided_sample_0.txt").exists()
+
     def test_legacy_bare_checkpoint(self, workdir, capsys):
         """Old single-model checkpoint format: load must warn and fall back
         to cosine decoding (reference src/shakespeare.py:556-562)."""

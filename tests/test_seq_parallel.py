@@ -296,6 +296,98 @@ class TestSeqParallelTraining:
             )
 
 
+class TestDataSeqMesh:
+    """Combined data x sequence mesh ({'data': 4, 'seq': 2}): batch sharded
+    AND ring attention active — the realistic long-context deployment
+    (VERDICT r3 item 5). Mirrors deployment/configs/tpu_v5e_8_dp4sp2.yaml
+    and the __graft_entry__ dryrun stage."""
+
+    def test_ring_attention_batch_sharded(self, eight_devices):
+        """ring_attention on a dp x sp mesh shards the batch over 'data'
+        (each (data,seq) submesh runs an independent ring on its batch
+        shard) and still matches full causal attention."""
+        mesh = make_mesh({"data": 4, "seq": 2})
+        l = 64
+        q, k, v = _qkv(jax.random.PRNGKey(20), (4, 2, l, 16))
+        mask = jnp.tril(jnp.ones((l, l), dtype=bool))
+        ref = xla_ref.attention(q, k, v, mask=mask)
+        shard = NamedSharding(mesh, P("data", None, "seq", None))
+        qs, ks, vs = (jax.device_put(a, shard) for a in (q, k, v))
+        out = ring_attention(qs, ks, vs, mesh, axis="seq", causal=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+        # The output keeps the dp x sp sharding (no silent all-gather).
+        out_spec = out.sharding.spec
+        assert out_spec[0] == "data" and out_spec[2] == "seq"
+
+    def test_batch_not_divisible_raises(self, eight_devices):
+        mesh = make_mesh({"data": 4, "seq": 2})
+        q = jnp.zeros((3, 1, 64, 8))  # batch 3 on a 4-way data axis
+        with pytest.raises(ValueError, match="batch 3"):
+            ring_attention(q, q, q, mesh, axis="seq")
+
+    def test_train_loss_equivalence_dp4_sp2(self, eight_devices):
+        """One scanned train step on the {'data': 4, 'seq': 2} mesh (tokens
+        sharded on BOTH axes via shard_stacked_batch) produces the same
+        losses and parameters as the single-device path."""
+        import optax
+
+        from tinydiffusionmodels_tpu.parallel import shard_stacked_batch
+
+        mesh = make_mesh({"data": 4, "seq": 2})
+        ops.register_sequence_mesh(mesh, "seq")
+        sched, cfg, _, joint, tokens = _joint_setup()
+        cfg_dpsp = TransformerConfig(
+            dim=cfg.dim, n_heads=cfg.n_heads, depth=cfg.depth,
+            dropout=0.0, ffn_dim=cfg.ffn_dim, timesteps=cfg.timesteps,
+            seq_axis="seq",
+        )
+        tx = optax.sgd(1e-2)
+        w = jnp.asarray(1.0)
+        k_train = jax.random.PRNGKey(7)
+
+        def run(cfg_used, put):
+            state = TrainState.create(
+                jax.tree_util.tree_map(jnp.copy, joint), tx
+            )
+            step = make_text_train_step_multi(
+                sched, cfg_used, tx, use_learned_embeddings=True
+            )
+            state, losses = step(state, put(jnp.asarray(tokens)), w, k_train)
+            return jax.device_get(state.params), np.asarray(losses)
+
+        params_ref, losses_ref = run(cfg, lambda t: t)
+        params_sp, losses_sp = run(
+            cfg_dpsp,
+            lambda t: shard_stacked_batch(mesh, t, seq_axis="seq"),
+        )
+
+        np.testing.assert_allclose(losses_sp, losses_ref, rtol=1e-4, atol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(params_sp),
+            jax.tree_util.tree_leaves(params_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+    def test_dropout_masks_differ_across_batch_shards(self, eight_devices):
+        """Each data-shard folds its axis index into the dropout key; with a
+        batch of identical rows, different shards must drop differently
+        (without the fold they would draw the SAME mask)."""
+        mesh = make_mesh({"data": 4, "seq": 2})
+        q1, k1, v1 = _qkv(jax.random.PRNGKey(21), (1, 2, 64, 16))
+        rep = lambda a: jnp.broadcast_to(a, (4, *a.shape[1:]))
+        shard = NamedSharding(mesh, P("data", None, "seq", None))
+        qs, ks, vs = (jax.device_put(rep(a), shard) for a in (q1, k1, v1))
+        out = np.asarray(ring_attention(
+            qs, ks, vs, mesh, axis="seq", dropout_rate=0.5,
+            dropout_key=jax.random.PRNGKey(3),
+        ))
+        assert not np.allclose(out[0], out[1])
+
+
 class TestFlashRingBlock:
     """TDM_RING_BLOCK=flash: the ring's per-step block compute through the
     lse-carrying Pallas flash kernel (VERDICT r2 item 4), exercised through

@@ -258,13 +258,21 @@ def ring_attention(
     dropout_key: jax.Array | None = None,
     kv_chunk: int | None = None,
     block_impl: str = "einsum",
+    batch_axis: str | None = "auto",
 ) -> jax.Array:
     """Attention with q/k/v sequence-sharded on mesh ``axis``.
 
     q, k, v: (B, H, L, Dh) global arrays; L must divide by the axis size.
     Pure function of its operands — composes under ``jit``; callers place
-    data (P(None, None, axis, None) sequence sharding). Returns the
+    data (P(batch_axis, None, axis, None) sharding). Returns the
     (B, H, L, Dh) result with the same sharding.
+
+    ``batch_axis``: mesh axis the batch dim is sharded on, for combined
+    data x sequence meshes (e.g. {'data': 4, 'seq': 2}): each (data, seq)
+    submesh then runs an independent ring on its batch shard. "auto" uses
+    'data' when the mesh has one (and it is not the ring axis); None
+    replicates the batch — on a dp x sp mesh that would silently
+    all-gather the batch into every ring and discard the dp split.
     """
     l = q.shape[2]
     n = mesh.shape[axis]
@@ -275,15 +283,30 @@ def ring_attention(
         # substitutes a dummy key below, which would otherwise silently apply
         # the SAME deterministic dropout mask on every call.
         raise ValueError("dropout_rate > 0 requires dropout_key")
+    if batch_axis == "auto":
+        batch_axis = "data" if ("data" in mesh.shape and axis != "data") else None
+    b = q.shape[0]
+    if batch_axis is not None and b % mesh.shape[batch_axis]:
+        raise ValueError(
+            f"batch {b} not divisible by {batch_axis!r} axis size "
+            f"{mesh.shape[batch_axis]}"
+        )
 
     def local(q_loc, k_loc, v_loc, key_loc):
+        if batch_axis is not None and dropout_rate > 0.0:
+            # Distinct masks per batch shard: the shard fn only folds in the
+            # ring position, so without this every data-shard would draw the
+            # SAME mask for its local batch block.
+            key_loc = jax.random.fold_in(
+                key_loc, jax.lax.axis_index(batch_axis)
+            )
         return ring_attention_shard(
             q_loc, k_loc, v_loc, axis=axis, causal=causal,
             bidirectional=bidirectional, dropout_rate=dropout_rate,
             dropout_key=key_loc, kv_chunk=kv_chunk, block_impl=block_impl,
         )
 
-    spec = P(None, None, axis, None)
+    spec = P(batch_axis, None, axis, None)
     key_in = dropout_key
     if key_in is None:
         # shard_map needs a concrete operand; pass a dummy key (unused).

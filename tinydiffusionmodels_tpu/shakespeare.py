@@ -135,10 +135,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="EMA of the joint weights (e.g. 0.999); "
                              "val/best/final checkpoints use the EMA "
                              "(framework extension)")
-    parser.add_argument("--seq_parallel", action="store_true",
+    parser.add_argument("--seq_parallel", nargs="?", const=-1, type=int,
+                        default=None, metavar="RING",
                         help="sequence-parallel training: shard the token "
-                             "sequence over all devices and route attention "
-                             "through the ring (parallel/ring_attention)")
+                             "sequence and route attention through the ring "
+                             "(parallel/ring_attention). No value = ring "
+                             "over ALL devices; an integer RING builds a "
+                             "combined {'data': n/RING, 'seq': RING} mesh "
+                             "(batch sharded AND ring attention)")
     parser.add_argument("--guidance_norm", action="store_true",
                         help="mix log-probabilities instead of raw logits in "
                              "guided sampling (framework extension; default "
@@ -237,6 +241,7 @@ def main(argv=None) -> None:
     from tinydiffusionmodels_tpu.data.tokenizer import (
         BPETokenizer,
         CharTokenizer,
+        parse_bpe_spec,
         tokenizer_from_state,
     )
     from tinydiffusionmodels_tpu.io import load_checkpoint, save_checkpoint
@@ -275,9 +280,7 @@ def main(argv=None) -> None:
     elif is_bpe:
         # Hermetic subword option (--model_id bpe[:VOCAB]): BPE merges
         # trained on the corpus, no downloads.
-        vocab = (int(args.model_id.split(":")[1])
-                 if ":" in args.model_id else 512)
-        tokenizer = BPETokenizer.train(corpus, vocab)
+        tokenizer = BPETokenizer.train(corpus, parse_bpe_spec(args.model_id))
         print(f"[tok] trained corpus BPE (vocab={tokenizer.vocab_size})")
     else:
         tokenizer = CharTokenizer(corpus)
@@ -316,23 +319,36 @@ def main(argv=None) -> None:
     train_mesh = None
     seq_axis = None
     if args.seq_parallel:
-        # Shard the sequence dim over every device. Register the mesh HERE,
+        # Shard the sequence dim over the ring. Register the mesh HERE,
         # not only in the train loop, so --sample/--guided_sample on a
         # seq-parallel-trained checkpoint work without --train in the same
         # process (ops.attention looks the mesh up at trace time).
         from tinydiffusionmodels_tpu import ops
         from tinydiffusionmodels_tpu.parallel import make_mesh
 
-        train_mesh = make_mesh({"seq": -1})
+        if args.seq_parallel == -1:
+            train_mesh = make_mesh({"seq": -1})  # ring over every device
+        else:
+            # Combined dp x sp: remaining devices shard the batch
+            # (train.text_train shards tokens (K, B, L) on both axes via
+            # shard_stacked_batch; ring_attention splits its shard_map's
+            # batch dim over 'data').
+            train_mesh = make_mesh({"data": -1, "seq": args.seq_parallel})
         seq_axis = "seq"
         ops.register_sequence_mesh(train_mesh, seq_axis)
         if args.seq_len % train_mesh.shape["seq"]:
             raise SystemExit(
-                f"--seq_parallel needs seq_len divisible by "
-                f"{train_mesh.shape['seq']} devices"
+                f"--seq_parallel needs seq_len divisible by the ring size "
+                f"{train_mesh.shape['seq']}"
             )
-        print(f"[parallel] sequence-parallel over {train_mesh.shape['seq']} "
-              "devices (ring attention)")
+        dp = train_mesh.shape.get("data", 1)
+        if args.batch_size % dp:
+            raise SystemExit(
+                f"--seq_parallel {args.seq_parallel}: batch_size "
+                f"{args.batch_size} not divisible by the {dp}-way data axis"
+            )
+        print(f"[parallel] sequence-parallel: ring({train_mesh.shape['seq']})"
+              + (f" x dp({dp})" if dp > 1 else "") + " (ring attention)")
     cfg = TransformerConfig(
         dim=embed_dim, n_heads=4, depth=args.depth, dropout=args.dropout,
         timesteps=sched.timesteps, seq_axis=seq_axis,
@@ -460,6 +476,15 @@ def main(argv=None) -> None:
                 use_learned_embeddings = False
             if "tokenizer" in checkpoint and hf_tok is None:
                 tokenizer = tokenizer_from_state(checkpoint["tokenizer"])
+                if tokenizer.vocab_size != vocab_size:
+                    # Keep every downstream vocab consumer (the guided
+                    # base-LM config most of all) in sync with the
+                    # checkpoint's tokenizer — a char-sized LM against
+                    # BPE-sized diffusion logits crashes in the jitted
+                    # guided mix.
+                    print(f"[ckpt] vocab_size={tokenizer.vocab_size} "
+                          "(from checkpoint tokenizer)")
+                    vocab_size = tokenizer.vocab_size
         else:
             # Old single-model checkpoint (reference src/shakespeare.py:556-562).
             diff_params = transformer_from_state_dict(checkpoint)
@@ -615,9 +640,24 @@ def main(argv=None) -> None:
             if os.path.exists(args.lm_ckpt):
                 try:
                     lm_params = tree_to_jax(load_checkpoint(args.lm_ckpt)["params"])
+                    # Same validation as tools/text_fidelity._load_or_train_lm:
+                    # a cached LM trained under a different tokenizer (e.g.
+                    # char-54 vs bpe-96) would crash — or silently misguide —
+                    # deep inside the jitted decode.
+                    if lm_params["tok_emb"].shape[0] != lm_cfg.vocab_size:
+                        raise ValueError(
+                            f"cached base-LM vocab {lm_params['tok_emb'].shape[0]}"
+                            f" != tokenizer vocab {lm_cfg.vocab_size}"
+                        )
+                    if lm_params["pos_emb"].shape[0] < lm_cfg.max_len:
+                        raise ValueError(
+                            f"cached base-LM max_len {lm_params['pos_emb'].shape[0]}"
+                            f" < required {lm_cfg.max_len}"
+                        )
                     print(f"[lm] loaded TinyGPT from {args.lm_ckpt}")
                 except Exception as e:
-                    print(f"[lm] could not load {args.lm_ckpt}: {e}")
+                    print(f"[lm] could not load {args.lm_ckpt}: {e} — retraining")
+                    lm_params = None
             if lm_params is None:
                 from tinydiffusionmodels_tpu.train.lm_train import train_lm
 
