@@ -117,6 +117,30 @@ class TestSampleText:
         assert z.shape == (3, 4, 16)
         assert np.isfinite(np.asarray(z)).all()
 
+    def test_temperature_semantics(self):
+        """temperature=1.0 is bit-identical to the default (reference
+        semantics untouched); 0.0 is the deterministic posterior-mean path;
+        intermediate values change the draw (frontier knob, round 4)."""
+        sched = make_schedule(10)
+        cfg = TransformerConfig(dim=16, n_heads=4, depth=1, ffn_dim=32,
+                                timesteps=10)
+        diff = init_tiny_transformer(jax.random.PRNGKey(0), cfg)
+
+        def draw(temp, key=1):
+            return np.asarray(sample_diffusion_embeddings(
+                diff, cfg, sched, jax.random.PRNGKey(key),
+                n=2, seq_len=4, embed_dim=16, temperature=temp,
+            ))
+
+        default = np.asarray(sample_diffusion_embeddings(
+            diff, cfg, sched, jax.random.PRNGKey(1),
+            n=2, seq_len=4, embed_dim=16,
+        ))
+        np.testing.assert_array_equal(draw(1.0), default)
+        assert not np.allclose(draw(0.5), default)
+        assert not np.allclose(draw(0.0), draw(1.0))
+        assert np.isfinite(draw(0.0)).all()
+
     def test_position_logits_paths_agree_on_shape(self):
         rounding = init_learned_rounding(jax.random.PRNGKey(0), 8, 12)
         emb = jax.random.normal(jax.random.PRNGKey(1), (12, 8))

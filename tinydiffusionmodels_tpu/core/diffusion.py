@@ -88,17 +88,23 @@ def p_sample(
     t: jax.Array,
     eps_pred: jax.Array,
     key: jax.Array,
+    *,
+    noise_scale: float = 1.0,
 ) -> jax.Array:
     """One reverse ancestral step with posterior variance beta_t.
 
     Matches reference src/mnist.py:167-180 / src/shakespeare.py:343-352:
     adds sqrt(beta_t) * z noise except at t == 0 (masked per element here).
+
+    ``noise_scale``: scales the injected noise (reduced-temperature
+    sampling, a framework extension; 1.0 = exact reference semantics,
+    0.0 = deterministic posterior-mean path).
     """
     mean = p_sample_mean(sched, x, t, eps_pred)
     noise = jax.random.normal(key, x.shape, dtype=x.dtype)
     sqrt_beta = _bcast(sched.sqrt_betas, t, x.ndim)
     nonzero = (t > 0).astype(x.dtype).reshape(t.shape[0], *((1,) * (x.ndim - 1)))
-    return mean + nonzero * sqrt_beta * noise
+    return mean + noise_scale * nonzero * sqrt_beta * noise
 
 
 def ddim_step(

@@ -37,6 +37,7 @@ def sample_loop(
     eta: float = 0.0,
     dtype=jnp.float32,
     self_cond: bool = False,
+    temperature: float = 1.0,
 ) -> jax.Array:
     """Run the full reverse process from N(0, I) noise.
 
@@ -46,6 +47,12 @@ def sample_loop(
     method 'ancestral': DDPM, always sched.timesteps steps (reference parity).
     method 'ddim': ``num_steps`` strided DDIM steps (default 50).
     method 'dpm++': DPM-Solver++(2M), ``num_steps`` steps (default 20).
+
+    ``temperature``: scales the per-step injected noise on the ancestral
+    path (framework extension; 1.0 = reference semantics). The initial
+    x_T ~ N(0, I) draw is NOT scaled — the trained prior at t=T is unit
+    variance regardless of how much noise the reverse path re-injects.
+    DDIM's knob is ``eta``; dpm++ is deterministic.
     """
     init_key, loop_key = jax.random.split(key)
     x0 = jax.random.normal(init_key, shape, dtype=dtype)
@@ -71,7 +78,8 @@ def sample_loop(
             x, sc = carry
             t_b = jnp.full((batch,), t, dtype=jnp.int32)
             eps, sc = call(x, t_b, sc)
-            x = p_sample(sched, x, t_b, eps, jax.random.fold_in(loop_key, t))
+            x = p_sample(sched, x, t_b, eps, jax.random.fold_in(loop_key, t),
+                         noise_scale=temperature)
             return (x, sc), None
 
         # unroll=2: +5% on the latency-bound small-denoiser (text) sampler,

@@ -122,8 +122,12 @@ def sample_diffusion_embeddings(
     method: str = "ancestral",
     num_steps: int | None = None,
     parameterization: str = "eps",
+    temperature: float = 1.0,
 ) -> jax.Array:
-    """Reverse-diffuse pure embeddings z (reference src/shakespeare.py:418-426)."""
+    """Reverse-diffuse pure embeddings z (reference src/shakespeare.py:418-426).
+
+    ``temperature`` scales the ancestral path's injected noise
+    (sample_loop; 1.0 = reference semantics)."""
     denoise = make_denoiser(
         diff_params, cfg, sched, parameterization=parameterization
     )
@@ -131,6 +135,7 @@ def sample_diffusion_embeddings(
         lambda k: sample_loop(
             denoise, sched, (n, seq_len, embed_dim), k,
             method=method, num_steps=num_steps, self_cond=cfg.self_cond,
+            temperature=temperature,
         )
     )(key)
 
@@ -170,6 +175,7 @@ def sample_text(
     num_steps: int | None = None,
     clamp: bool = False,
     parameterization: str = "eps",
+    temperature: float = 1.0,
     log_fn=print,
 ) -> list[str]:
     """Pure diffusion text sampling (reference src/shakespeare.py:355-415).
@@ -190,6 +196,7 @@ def sample_text(
             lambda k: sample_loop(
                 denoise, sched, (n_samples, seq_len, embed_dim), k,
                 method=method, num_steps=num_steps, self_cond=cfg.self_cond,
+                temperature=temperature,
             )
         )(key)
     else:
@@ -197,7 +204,7 @@ def sample_text(
             diff_params, cfg, sched, key,
             n=n_samples, seq_len=seq_len, embed_dim=embed_dim,
             method=method, num_steps=num_steps,
-            parameterization=parameterization,
+            parameterization=parameterization, temperature=temperature,
         )
     tokens = decode_embeddings(
         x,

@@ -15,9 +15,17 @@ makes guided/clamp/alpha claims regression-testable (VERDICT round-1 item 10):
 - ``dup_8gram_rate``: fraction of 8-grams appearing in more than one sample
   (cross-sample copying indicator).
 
+Statistical rigor (VERDICT r3 item 1a): ``--seeds K`` replicates the whole
+generate+score protocol over K independent PRNG seeds and reports
+mean ± stderr for every metric (keys ``<metric>`` = mean,
+``<metric>_stderr``, ``<metric>_per_seed``). Single-seed point estimates on
+this metric are volatile (ladder_r3.jsonl shows dup_8gram flipping 0.00→0.37
+between adjacent configs); claims should quote the replicated form.
+
 Usage:
-  python tools/text_fidelity.py --ckpt text_ckpt.pth [--n 16] [--seq_len 64]
-         [--mode pure|guided] [--alpha 0.3] [--clamp] [--sampler ancestral]
+  python tools/text_fidelity.py --ckpt text_ckpt.pth [--n 64] [--seeds 3]
+         [--seq_len 64] [--mode pure|guided] [--alpha 0.3] [--clamp]
+         [--sampler ancestral] [--temperature 1.0]
 """
 
 from __future__ import annotations
@@ -103,8 +111,14 @@ def main() -> None:
     ap.add_argument("--clamp", action="store_true")
     ap.add_argument("--sampler", type=str, default="ancestral")
     ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--temperature", type=float, default=1.0,
+                    help="ancestral sampling noise scale (pure mode)")
     ap.add_argument("--lm_epochs", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="replicate generate+score over this many PRNG "
+                         "seeds; metrics become mean with _stderr and "
+                         "_per_seed companions (VERDICT r3 item 1a)")
     args = ap.parse_args()
 
     import jax
@@ -133,7 +147,6 @@ def main() -> None:
     from tinydiffusionmodels_tpu.train.lm_train import train_lm
 
     runtime.enable_compile_cache()
-    key = jax.random.PRNGKey(args.seed)
     sched = make_schedule()  # rebuilt below if the ckpt records a schedule
 
     corpus, _ = load_text_corpus()
@@ -169,18 +182,30 @@ def main() -> None:
                             pos_emb=ckpt.get("pos_emb", "none"))
     parameterization = ckpt.get("parameterization", "eps")
 
-    # --- generate ----------------------------------------------------------
-    if args.mode == "pure":
-        texts = sample_text(
-            diff_params, cfg, sched, tokenizer, substream(key, "sample"),
-            rounding_params=rounding_params, embed_matrix=embed_matrix,
-            n_samples=args.n, seq_len=args.seq_len, embed_dim=int(embed_dim),
-            use_learned_rounding=True, method=args.sampler,
-            num_steps=args.steps, clamp=args.clamp, save=False,
-            parameterization=parameterization,
-            log_fn=lambda *_: None,
-        )
-    else:
+    # --- judge LM (shared across replicate seeds) --------------------------
+    lm_cfg = TinyGPTConfig(
+        vocab_size=tokenizer.vocab_size, dim=256, n_heads=4, depth=4,
+        max_len=max(args.seq_len + 1, 64),
+    )
+    lm_params = _load_or_train_lm(
+        args, corpus, tokenizer, lm_cfg, tokenize_corpus, train_lm,
+        load_checkpoint, save_checkpoint, tree_to_jax, tree_to_numpy,
+    )
+
+    # --- generation, replicated over seeds ----------------------------------
+    def generate(gen_key):
+        if args.mode == "pure":
+            return sample_text(
+                diff_params, cfg, sched, tokenizer, gen_key,
+                rounding_params=rounding_params, embed_matrix=embed_matrix,
+                n_samples=args.n, seq_len=args.seq_len,
+                embed_dim=int(embed_dim),
+                use_learned_rounding=True, method=args.sampler,
+                num_steps=args.steps, clamp=args.clamp, save=False,
+                parameterization=parameterization,
+                temperature=args.temperature,
+                log_fn=lambda *_: None,
+            )
         from tinydiffusionmodels_tpu.models import (
             tiny_gpt_decode_step,
             tiny_gpt_init_cache,
@@ -191,24 +216,18 @@ def main() -> None:
         )
 
         z = sample_diffusion_embeddings(
-            diff_params, cfg, sched, substream(key, "guided"),
+            diff_params, cfg, sched, gen_key,
             n=args.n, seq_len=args.seq_len, embed_dim=int(embed_dim),
             method=args.sampler, num_steps=args.steps,
             parameterization=parameterization,
+            temperature=args.temperature,
         )
-        lm_cfg_g = TinyGPTConfig(
-            vocab_size=tokenizer.vocab_size, dim=256, n_heads=4, depth=4,
-            max_len=max(args.seq_len + 1, 64),
-        )
-        lm_params_g = _load_or_train_lm(
-            args, corpus, tokenizer, lm_cfg_g, tokenize_corpus, train_lm,
-            load_checkpoint, save_checkpoint, tree_to_jax, tree_to_numpy,
-        )
-        texts = guided_sample_text(
+        # The guided base LM is the same judge-size TinyGPT (shared cache).
+        return guided_sample_text(
             lambda cache, tok: tiny_gpt_decode_step(
-                lm_params_g, cache, tok, lm_cfg_g
+                lm_params, cache, tok, lm_cfg
             ),
-            tiny_gpt_init_cache(lm_cfg_g, args.n),
+            tiny_gpt_init_cache(lm_cfg, args.n),
             z, tokenizer,
             rounding_params=rounding_params, embed_matrix=embed_matrix,
             use_learned_rounding=True, alpha=args.alpha,
@@ -216,62 +235,82 @@ def main() -> None:
             log_fn=lambda *_: None,
         )
 
-    token_seqs = [np.asarray(tokenizer.encode(t)) for t in texts]
-
-    # --- judge LM ----------------------------------------------------------
-    lm_cfg = TinyGPTConfig(
-        vocab_size=tokenizer.vocab_size, dim=256, n_heads=4, depth=4,
-        max_len=max(args.seq_len + 1, 64),
-    )
-    lm_params = _load_or_train_lm(
-        args, corpus, tokenizer, lm_cfg, tokenize_corpus, train_lm,
-        load_checkpoint, save_checkpoint, tree_to_jax, tree_to_numpy,
-    )
-
-    # Held-out corpus floor: last 10% of chunks (train_lm shuffles over the
-    # full set, so this is only an approximate floor).
+    # Corpus references, computed once: held-out floor + matched-window
+    # diversity ceilings + the corpus 8-gram set for the novelty metric.
     chunks, val = tokenize_corpus(corpus, tokenizer, args.seq_len, 0.1)
     val_seqs = [np.asarray(c) for c in (val if len(val) else chunks)[:32]]
+    corpus_ids = np.asarray(tokenizer.encode(corpus[:200_000]))
+    corpus_grams = {
+        tuple(corpus_ids[i:i + 8]) for i in range(len(corpus_ids) - 7)
+    }
+
+    def score(token_seqs) -> dict:
+        """Per-replicate metrics of one generated batch."""
+        out = {
+            "lm_perplexity": round(
+                lm_perplexity(lm_params, lm_cfg, token_seqs), 3
+            ),
+            **ngram_stats(token_seqs),
+        }
+        # Memorization check: fraction of generated 8-grams appearing
+        # verbatim anywhere in the corpus (real corpus windows score 1.0
+        # by construction; lower = more novel recombination).
+        gen_grams = [
+            tuple(seq[i:i + 8])
+            for seq in token_seqs for i in range(len(seq) - 7)
+        ]
+        if gen_grams:
+            out["corpus_8gram_overlap"] = round(
+                sum(1 for g in gen_grams if g in corpus_grams)
+                / len(gen_grams), 4,
+            )
+        return out
+
+    per_seed = []
+    for rep in range(max(1, args.seeds)):
+        rep_key = substream(
+            jax.random.PRNGKey(args.seed + 1000 * rep), "sample"
+        )
+        texts = generate(rep_key)
+        per_seed.append(score(
+            [np.asarray(tokenizer.encode(t)) for t in texts]
+        ))
+        print(f"[fidelity] seed {args.seed + 1000 * rep}: {per_seed[-1]}",
+              file=sys.stderr)
 
     result = {
         "mode": args.mode,
         "guidance_norm": bool(args.guidance_norm),
-        "n_samples": len(texts),
-        "lm_perplexity": round(lm_perplexity(lm_params, lm_cfg, token_seqs), 3),
+        "n_samples": args.n,
+        "n_seeds": len(per_seed),
         "corpus_perplexity": round(
             lm_perplexity(lm_params, lm_cfg, val_seqs), 3
         ),
         "uniform_perplexity": tokenizer.vocab_size,
-        **ngram_stats(token_seqs),
     }
+    metric_keys = sorted({k for d in per_seed for k in d})
+    for k in metric_keys:
+        vals = np.asarray([d[k] for d in per_seed if k in d], dtype=float)
+        result[k] = round(float(vals.mean()), 4)
+        if len(per_seed) > 1:
+            # Standard error over replicate seeds (ddof=1).
+            result[f"{k}_stderr"] = round(
+                float(vals.std(ddof=1) / np.sqrt(len(vals))), 4
+            )
+            result[f"{k}_per_seed"] = [round(float(v), 4) for v in vals]
+
     # Calibrated diversity ceiling: real corpus windows at the SAME
     # n/seq_len protocol. Measured round 3: real text at 16x64 scores
     # distinct-2 ~0.26 — absolute diversity targets above this are
     # miscalibrated, so report the reference value alongside.
     rng = np.random.RandomState(args.seed)
     ref_seqs = []
-    corpus_ids = np.asarray(tokenizer.encode(corpus[:200_000]))
-    for _ in range(len(texts)):
+    for _ in range(args.n):
         i = rng.randint(0, max(1, len(corpus_ids) - args.seq_len))
         ref_seqs.append(corpus_ids[i:i + args.seq_len])
     result.update({
         f"corpus_{k}": v for k, v in ngram_stats(ref_seqs).items()
     })
-    # Memorization check: fraction of generated 8-grams that appear
-    # verbatim anywhere in the corpus (real corpus windows score 1.0 by
-    # construction; lower = more novel recombination).
-    corpus_grams = {
-        tuple(corpus_ids[i:i + 8]) for i in range(len(corpus_ids) - 7)
-    }
-    gen_grams = [
-        tuple(seq[i:i + 8])
-        for seq in token_seqs for i in range(len(seq) - 7)
-    ]
-    if gen_grams:
-        result["corpus_8gram_overlap"] = round(
-            sum(1 for g in gen_grams if g in corpus_grams) / len(gen_grams),
-            4,
-        )
     print(json.dumps(result))
 
 
