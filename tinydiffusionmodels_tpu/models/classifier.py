@@ -26,8 +26,11 @@ def init_classifier(key: jax.Array, n_classes: int = 10) -> dict:
     }
 
 
-def classifier_apply(params: dict, x: jax.Array) -> jax.Array:
-    """x: (B, 28, 28, 1) in [-1, 1] -> logits (B, 10)."""
+def classifier_features(params: dict, x: jax.Array) -> jax.Array:
+    """x: (B, 28, 28, 1) in [-1, 1] -> penultimate features (B, 128).
+
+    The embedding space for FID (tools/fidelity.py) — the MNIST-scale
+    stand-in for Inception pool3 features."""
 
     def pool2(a):
         b, h, w, c = a.shape
@@ -38,5 +41,10 @@ def classifier_apply(params: dict, x: jax.Array) -> jax.Array:
     h = jax.nn.relu(ops.conv2d(h, params["conv2"]["w"], params["conv2"]["b"]))
     h = pool2(h)                                   # (B, 7, 7, 32)
     h = h.reshape(h.shape[0], -1)
-    h = jax.nn.relu(h @ params["fc1"]["w"] + params["fc1"]["b"])
+    return jax.nn.relu(h @ params["fc1"]["w"] + params["fc1"]["b"])
+
+
+def classifier_apply(params: dict, x: jax.Array) -> jax.Array:
+    """x: (B, 28, 28, 1) in [-1, 1] -> logits (B, 10)."""
+    h = classifier_features(params, x)
     return h @ params["fc2"]["w"] + params["fc2"]["b"]

@@ -85,6 +85,51 @@ def inception_score(probs: np.ndarray) -> float:
     return float(np.exp(kl.mean()))
 
 
+def fid(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+    """Frechet distance between Gaussian fits of two feature sets
+    (Heusel et al. 2017): |mu_a-mu_b|^2 + Tr(Ca + Cb - 2 (Ca Cb)^1/2).
+
+    IS saturates and sees neither within-class mode-dropping nor train-set
+    copying (VERDICT r3 item 6); FID compares full feature distributions.
+    Features are the in-framework classifier's 128-d penultimate layer
+    (models/classifier.classifier_features) — the MNIST-scale stand-in for
+    Inception pool3. The matrix sqrt uses the symmetric eigh trick
+    (Tr((Ca Cb)^1/2) = Tr((A Cb A)^1/2) with A = Ca^1/2), no scipy needed.
+    """
+    mu_a, mu_b = feats_a.mean(0), feats_b.mean(0)
+    ca = np.cov(feats_a, rowvar=False)
+    cb = np.cov(feats_b, rowvar=False)
+    # A = Ca^{1/2} via symmetric eigendecomposition (clip tiny negatives).
+    wa, va = np.linalg.eigh(ca)
+    a_half = (va * np.sqrt(np.clip(wa, 0, None))) @ va.T
+    m = a_half @ cb @ a_half           # symmetric PSD, same spectrum as CaCb
+    wm = np.linalg.eigvalsh(m)
+    tr_sqrt = np.sqrt(np.clip(wm, 0, None)).sum()
+    diff = mu_a - mu_b
+    return float(diff @ diff + np.trace(ca) + np.trace(cb) - 2.0 * tr_sqrt)
+
+
+def nn_train_distance(gen: np.ndarray, train: np.ndarray,
+                      block: int = 4096) -> np.ndarray:
+    """Per-sample pixel-L2 distance to the NEAREST training image.
+
+    The image-side memorization metric (the analog of the text stack's
+    corpus-8gram novelty): distances near zero = the sampler is replaying
+    training images; calibrate against held-out real images scored by the
+    same protocol. Blocked |a-b|^2 = |a|^2 + |b|^2 - 2ab keeps memory at
+    (n_gen x block).
+    """
+    g = gen.reshape(len(gen), -1).astype(np.float32)
+    t = train.reshape(len(train), -1).astype(np.float32)
+    g2 = (g * g).sum(1)[:, None]
+    best = np.full((len(g),), np.inf, dtype=np.float32)
+    for s in range(0, len(t), block):
+        tb = t[s:s + block]
+        d2 = g2 + (tb * tb).sum(1)[None, :] - 2.0 * (g @ tb.T)
+        best = np.minimum(best, d2.min(axis=1))
+    return np.sqrt(np.clip(best, 0, None))
+
+
 def evaluate_checkpoint(ckpt_path: str, *, n: int = 256, method: str = "ancestral",
                         num_steps: int | None = None, seed: int = 0,
                         data_root: str = "./data", compute_dtype=None) -> dict:
@@ -98,11 +143,28 @@ def evaluate_checkpoint(ckpt_path: str, *, n: int = 256, method: str = "ancestra
     from tinydiffusionmodels_tpu.models import unet_apply
     from tinydiffusionmodels_tpu.sample.ancestral import sample_loop
 
+    from tinydiffusionmodels_tpu.data.mnist import normalize_mnist
+    from tinydiffusionmodels_tpu.models.classifier import classifier_features
+
     images, labels, source = load_mnist(data_root)
     limit = int(os.environ.get("TDM_DATA_LIMIT", "0"))
     if limit:
         images, labels = images[:limit], labels[:limit]
     clf_params, predict, acc = train_classifier(images, labels)
+
+    # Same train/held-out split as train_classifier: the held-out tail
+    # calibrates both FID's sampling-noise floor and the NN-distance.
+    x_norm = np.asarray(normalize_mnist(images), dtype=np.float32)
+    n_val = max(256, len(x_norm) // 10)
+    x_train_norm, x_heldout_norm = x_norm[:-n_val], x_norm[-n_val:]
+
+    feat_fn = jax.jit(lambda xb: classifier_features(clf_params, xb))
+
+    def features(x, cap=8192, batch=1024):
+        x = x[:cap]
+        out = [np.asarray(feat_fn(jnp.asarray(x[s:s + batch])))
+               for s in range(0, len(x), batch)]
+        return np.concatenate(out, axis=0)
 
     params = unet_from_state_dict(load_checkpoint(ckpt_path))
     sched = make_schedule()
@@ -126,12 +188,35 @@ def evaluate_checkpoint(ckpt_path: str, *, n: int = 256, method: str = "ancestra
     samples = jnp.clip(samples, -1.0, 1.0)
 
     probs = np.asarray(predict(clf_params, samples))
+    samples_np = np.asarray(samples, dtype=np.float32)
+
+    # FID: generated vs real-train features, with a real-vs-real floor at
+    # the same n (FID is biased at small n; the floor shows how much).
+    feats_real = features(x_train_norm)
+    feats_gen = features(samples_np)
+    rng = np.random.default_rng(seed)
+    half = rng.permutation(len(x_train_norm))
+    floor_a = features(x_train_norm[half[:n]], cap=n)
+    floor_b = features(x_train_norm[half[n:2 * n]], cap=n)
+
+    # NN-distance to the training set: generated vs held-out real under
+    # the identical protocol. gen << real = copying; gen >> real = not on
+    # the data manifold.
+    nn_gen = nn_train_distance(samples_np, x_train_norm)
+    nn_real = nn_train_distance(x_heldout_norm[:n], x_train_norm)
+
     return {
         "data_source": source,
         "classifier_accuracy_on_data": round(acc, 4),
         "n_samples": n,
         "mean_max_prob": round(float(probs.max(axis=1).mean()), 4),
         "inception_score": round(inception_score(probs), 4),
+        "fid": round(fid(feats_gen, feats_real), 4),
+        "fid_real_floor": round(fid(floor_a, floor_b), 4),
+        "nn_train_dist_mean": round(float(nn_gen.mean()), 4),
+        "nn_train_dist_p05": round(float(np.percentile(nn_gen, 5)), 4),
+        "nn_train_dist_real_mean": round(float(nn_real.mean()), 4),
+        "nn_train_dist_real_p05": round(float(np.percentile(nn_real, 5)), 4),
         "class_histogram": np.bincount(
             probs.argmax(axis=1), minlength=10
         ).tolist(),
