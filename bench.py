@@ -162,7 +162,12 @@ def bench_mnist_train(batch_size: int = 128, chunk: int = 200,
     )
 
     state, _ = step(state, batches, key)  # compile
-    state, _ = step(state, batches, jax.random.fold_in(key, 1))  # warm
+    state, loss = step(state, batches, jax.random.fold_in(key, 1))  # warm
+    # Drain the async queue before the first timed window: without this
+    # sync, window 1 starts its clock while the device is still executing
+    # the compile+warm calls and absorbs them (the systematic 3-5x-slow
+    # first window behind every loose BENCH_rN envelope min).
+    _sync(loss)
     rates = []
     for r in range(5):
         t0 = time.perf_counter()
@@ -272,7 +277,8 @@ def bench_text_train(batch_size: int = 8, seq_len: int = 64,
     flops = perf.compiled_flops(single, state, tokens[0], w, k)
 
     state, _ = step(state, tokens, w, k)  # compile
-    state, _ = step(state, tokens, w, jax.random.fold_in(k, 1))  # warm
+    state, losses = step(state, tokens, w, jax.random.fold_in(k, 1))  # warm
+    _sync(losses)  # drain compile+warm before timing (see bench_mnist_train)
     rates = []
     for r in range(5):
         t0 = time.perf_counter()
@@ -354,10 +360,14 @@ def bench_guided(n: int = 8, seq_len: int = 64) -> tuple[float, float | None]:
 def bench_guided_fused(n: int = 8, seq_len: int = 64) -> tuple[list, None]:
     """The persistent Pallas decode kernel (ops/decode_kernel.py): whole
     guided decode as ONE kernel, weights VMEM-resident across positions.
-    Same chained-delta timing as bench_guided for a like-for-like number."""
+    Same chained-delta timing as bench_guided for a like-for-like number.
+    Batches beyond the kernel's VMEM capacity run as chunked sweeps
+    (fused_guided_decode_batched)."""
     from tinydiffusionmodels_tpu.models import init_tiny_gpt
     from tinydiffusionmodels_tpu.models.ar_lm import TinyGPTConfig
-    from tinydiffusionmodels_tpu.ops.decode_kernel import fused_guided_decode
+    from tinydiffusionmodels_tpu.ops.decode_kernel import (
+        fused_guided_decode_batched,
+    )
 
     cfg = TinyGPTConfig(vocab_size=4096, dim=256, n_heads=4, depth=4,
                         max_len=seq_len + 1)
@@ -365,10 +375,80 @@ def bench_guided_fused(n: int = 8, seq_len: int = 64) -> tuple[list, None]:
     diff0 = jax.random.normal(jax.random.PRNGKey(1), (n, seq_len,
                                                       cfg.vocab_size))
     fn = jax.jit(
-        lambda d: fused_guided_decode(params, cfg, d, 0, alpha=0.3)
+        lambda d: fused_guided_decode_batched(params, cfg, d, 0, alpha=0.3)
     )
     secs = _chain_timeit(fn, diff0)
     return [n * seq_len / s for s in secs], None
+
+
+def _load_threshold() -> float:
+    """1-min load above this = something besides the bench is running.
+
+    The axon tunnel is host-fed: a concurrent full pytest run craters the
+    headline ~15x (BENCH_r03 post-mortem). The bench itself keeps ~1 thread
+    busy feeding the tunnel, so the plain 0.5*ncpu rule can never pass on a
+    1-CPU host (measured: 'idle' bench load ~0.5-1.2 there) — allow one
+    busy core on top. On small hosts the load signal stays weak; envelope
+    tightness is the primary validity check."""
+    return 0.5 * (os.cpu_count() or 1) + 1.0
+
+
+def _quiet_host() -> bool:
+    return os.getloadavg()[0] < _load_threshold()
+
+
+def _wait_for_quiet(max_wait_s: float) -> bool:
+    """Poll until the host is quiet or the budget runs out; True if quiet."""
+    deadline = time.monotonic() + max_wait_s
+    while not _quiet_host():
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(min(15.0, max(1.0, deadline - time.monotonic())))
+    return True
+
+
+# A window whose min is this far below its median was contended, not noisy:
+# quiet-host spread on every metric is well inside 15% (VERDICT r3 item 3).
+_TIGHT = 0.85
+
+
+def _spread_ok(rates: list[float]) -> bool:
+    return min(rates) >= _TIGHT * _median(rates)
+
+
+def _measure_with_retry(name: str, thunk, retry_log: dict,
+                        max_retries: int | None = None):
+    """Run one metric; if its window envelope shows contention (min more
+    than 15% below median), wait for a quiet host and re-measure, keeping
+    the tightest attempt. bench must defend its numbers, not report a
+    contaminated median (VERDICT r3 item 3).
+
+    TDM_BENCH_RETRIES (default 2) bounds retries per metric;
+    TDM_BENCH_QUIET_WAIT (default 120 s) bounds each wait-for-quiet."""
+    if max_retries is None:
+        max_retries = int(os.environ.get("TDM_BENCH_RETRIES", "2"))
+    quiet_wait = float(os.environ.get("TDM_BENCH_QUIET_WAIT", "120"))
+    attempts = []
+    rates, flops = thunk()
+    attempts.append(rates)
+    tries = 0
+    while not _spread_ok(rates) and tries < max_retries:
+        tries += 1
+        _wait_for_quiet(quiet_wait)
+        rates, _ = thunk()
+        attempts.append(rates)
+    if tries:
+        # Keep the tightest attempt (highest min/median): the quietest
+        # window is the best estimate of the chip; contaminated windows
+        # measure the neighbor's job. All attempts go to provenance.
+        rates = max(attempts, key=lambda r: min(r) / _median(r))
+        retry_log[name] = {
+            "retries": tries,
+            "attempt_min_over_median": [
+                round(min(r) / _median(r), 3) for r in attempts
+            ],
+        }
+    return rates, flops
 
 
 def _provenance(load_start) -> dict:
@@ -386,10 +466,12 @@ def _provenance(load_start) -> dict:
         "cpus": ncpu,
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in load_end],
-        # 1-min load < 50% of cores at both ends ~= nothing host-heavy ran
-        # alongside the bench.
+        # 1-min load under the allowance (0.5*cores + 1 for the bench's own
+        # tunnel-feeding thread — _load_threshold) at both ends ~= nothing
+        # host-heavy ran alongside the bench.
         "solo_run": bool(
-            load_start[0] < 0.5 * ncpu and load_end[0] < 0.5 * ncpu
+            load_start[0] < _load_threshold()
+            and load_end[0] < _load_threshold()
         ),
         "scan_chunk": os.environ.get("TDM_SCAN_CHUNK", "default"),
         "kernels": os.environ.get("TDM_KERNELS", "auto"),
@@ -404,6 +486,13 @@ def main() -> None:
                              "merge all windows across repeats")
     args = parser.parse_args()
 
+    # Don't start into a contended host: wait (bounded) for quiet first.
+    if not _quiet_host():
+        waited = _wait_for_quiet(
+            float(os.environ.get("TDM_BENCH_QUIET_WAIT", "120"))
+        )
+        print(f"[bench] host busy at start; waited, quiet={waited}",
+              file=sys.stderr)
     load_start = os.getloadavg()
     backend = jax.default_backend()
     device_kind = getattr(jax.devices()[0], "device_kind", backend)
@@ -412,6 +501,7 @@ def main() -> None:
     r = {}
     env = {}
     mfu = {}
+    retry_log = {}
 
     def record(name, rates, flops):
         env.setdefault(name, []).extend(rates)
@@ -421,57 +511,68 @@ def main() -> None:
             mfu[name] = round(m, 4)
 
     for _rep in range(max(1, args.repeat)):
-        _run_suite(args, record)
+        _run_suite(args, record, retry_log)
 
     envelope = {
         name: [round(min(v), 2), round(_median(v), 2), round(max(v), 2)]
         for name, v in env.items()
     }
-    _emit(args, r, mfu, envelope, backend, device_kind, peak,
-          _provenance(load_start))
+    prov = _provenance(load_start)
+    # Self-validation (VERDICT r3 item 3): the run is valid iff it was solo
+    # AND every metric's final envelope is tight. Invalid numbers are
+    # emitted anyway — flagged, with reasons — so the driver always gets a
+    # line, but cross-round comparisons know to discount it.
+    loose = [n for n, v in env.items() if not _spread_ok(v)]
+    reasons = []
+    if not prov["solo_run"]:
+        reasons.append("host not solo (load average >= 50% of cores)")
+    if loose:
+        reasons.append(
+            "envelope min >15% below median after retries: "
+            + ",".join(sorted(loose))
+        )
+    prov["retries"] = retry_log
+    _emit(args, r, mfu, envelope, backend, device_kind, peak, prov,
+          valid=not reasons, invalid_reasons=reasons)
 
 
-def _run_suite(args, record) -> None:
-    rate, flops = bench_text_train()
-    record("shakespeare_train_it_s", rate, flops)
-    rate, flops = bench_text_sample(quick=args.quick)
-    record("shakespeare_sample_steps_s", rate, flops)
-    rate, flops = bench_mnist_train()
-    record("mnist_train_it_s", rate, flops)
-    rate, flops = bench_mnist_sample(quick=args.quick)
-    record("mnist_sample_samples_s", rate, flops)
-    rate, flops = bench_mnist_sample(
-        quick=args.quick, method="dpm++", num_steps=20
-    )
-    record("mnist_sample_dpmpp20_s", rate, flops)
-    rate, flops = bench_guided()
-    record("guided_tokens_s", rate, flops)
-    # Throughput-oriented guided decode: the scan decoder is latency-bound
-    # at the reference's n=8; batching the KV-cached decode amortizes it.
-    rate, flops = bench_guided(n=256)
-    record("guided_tokens_s_bs256", rate, flops)
-    rate, flops = bench_guided_fused()
-    record("guided_fused_tokens_s", rate, flops)
-
-    # Roofline points: large-batch bf16 training, where the MXU should be
-    # busy. Shows how far the reference's tiny configs sit from the roof
-    # (docs/…/mfu-roofline journal post).
+def _run_suite(args, record, retry_log) -> None:
     bf16 = jnp.bfloat16
     chunk = 20 if args.quick else 50
-    # bs=512 is the measured images/s sweet spot (bs=2048 degrades ~20% in
-    # both dtypes — conv tiling/layout past the point of full overlap).
-    rate, flops = bench_mnist_train(
-        batch_size=512, chunk=chunk, compute_dtype=bf16
-    )
-    record("mnist_train_bs512_bf16_it_s", rate, flops)
-    rate, flops = bench_text_train(
-        batch_size=512, chunk=chunk, compute_dtype=bf16
-    )
-    record("shakespeare_train_bs512_bf16_it_s", rate, flops)
+    suite = [
+        ("shakespeare_train_it_s", lambda: bench_text_train()),
+        ("shakespeare_sample_steps_s",
+         lambda: bench_text_sample(quick=args.quick)),
+        ("mnist_train_it_s", lambda: bench_mnist_train()),
+        ("mnist_sample_samples_s",
+         lambda: bench_mnist_sample(quick=args.quick)),
+        ("mnist_sample_dpmpp20_s",
+         lambda: bench_mnist_sample(quick=args.quick, method="dpm++",
+                                    num_steps=20)),
+        ("guided_tokens_s", lambda: bench_guided()),
+        # Throughput-oriented guided decode: the scan decoder is
+        # latency-bound at the reference's n=8; batching amortizes it.
+        ("guided_tokens_s_bs256", lambda: bench_guided(n=256)),
+        ("guided_fused_tokens_s", lambda: bench_guided_fused()),
+        ("guided_fused_tokens_s_bs256", lambda: bench_guided_fused(n=256)),
+        # Roofline points: large-batch bf16 training, where the MXU should
+        # be busy. Shows how far the reference's tiny configs sit from the
+        # roof (docs/…/mfu-roofline journal post). bs=512 is the measured
+        # images/s sweet spot (bs=2048 degrades ~20% in both dtypes).
+        ("mnist_train_bs512_bf16_it_s",
+         lambda: bench_mnist_train(batch_size=512, chunk=chunk,
+                                   compute_dtype=bf16)),
+        ("shakespeare_train_bs512_bf16_it_s",
+         lambda: bench_text_train(batch_size=512, chunk=chunk,
+                                  compute_dtype=bf16)),
+    ]
+    for name, thunk in suite:
+        rate, flops = _measure_with_retry(name, thunk, retry_log)
+        record(name, rate, flops)
 
 
 def _emit(args, r, mfu, envelope, backend, device_kind, peak,
-          provenance) -> None:
+          provenance, valid=True, invalid_reasons=()) -> None:
     headline = r["shakespeare_train_it_s"]
     print(
         json.dumps(
@@ -480,6 +581,9 @@ def _emit(args, r, mfu, envelope, backend, device_kind, peak,
                 "value": round(headline, 2),
                 "unit": "it/s",
                 "vs_baseline": round(headline / 25.0, 2),  # T4: 25 it/s
+                "valid": bool(valid),
+                **({"invalid_reasons": list(invalid_reasons)}
+                   if invalid_reasons else {}),
                 "extra": {
                     "backend": backend,
                     "device_kind": device_kind,

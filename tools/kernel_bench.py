@@ -157,6 +157,49 @@ def bench_attention_grad():
             )
 
 
+def bench_attention_bf16():
+    """XLA vs flash crossover with bf16 activations, eval AND training mode
+    (attention-weight dropout + grad) — VERDICT r3 item 8: the routing
+    threshold was measured f32/eval-only; scores are f32 inside both paths
+    (preferred_element_type), but XLA's fused buffers may differ in bf16."""
+    from tinydiffusionmodels_tpu.ops import pallas_kernels, xla_ref
+
+    key = jax.random.PRNGKey(0)
+    dk = jax.random.PRNGKey(7)
+    shapes = [(8, 4, 512, 64), (4, 4, 1024, 64), (8, 4, 1024, 64),
+              (2, 4, 2048, 64)]
+    for b, h, l, dh in shapes:
+        q = jax.random.normal(
+            jax.random.fold_in(key, 1), (b, h, l, dh)
+        ).astype(jnp.bfloat16)
+        gflop = 4 * b * h * l * l * dh / 1e9
+        mb = b * h * l * l * 4 / 2**20
+        # eval forward
+        for name, fn in [
+            ("xla", lambda c: xla_ref.attention(c, c, c)),
+            ("flash", lambda c: pallas_kernels.flash_attention(c, c, c)),
+        ]:
+            us = scan_delta_us(_scanned(fn), q)
+            print(f"attn-bf16 B{b} H{h} L{l:5d} ({mb:5.0f}MB f32-scores) "
+                  f"{name:6s} fwd : {us:8.1f} us "
+                  f"({gflop / us * 1e3:6.1f} TFLOP/s)")
+        # training mode: dropout + grad (sum loss), bf16 activations
+        for name, fn in [
+            ("xla", lambda c: jax.grad(lambda x: jnp.sum(
+                xla_ref.attention(
+                    x, x, x, dropout_rate=0.1, dropout_key=dk
+                ).astype(jnp.float32)))(c)),
+            ("flash", lambda c: jax.grad(lambda x: jnp.sum(
+                pallas_kernels.flash_attention(
+                    x, x, x, dropout_rate=0.1, dropout_key=dk
+                ).astype(jnp.float32)))(c)),
+        ]:
+            us = scan_delta_us(_scanned(fn), q)
+            print(f"attn-bf16 B{b} H{h} L{l:5d} ({mb:5.0f}MB f32-scores) "
+                  f"{name:6s} grad: {us:8.1f} us "
+                  f"({3 * gflop / us * 1e3:6.1f} TFLOP/s)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("resblock", "all"):
@@ -165,3 +208,5 @@ if __name__ == "__main__":
         bench_attention()
     if which in ("grad", "all"):
         bench_attention_grad()
+    if which in ("bf16", "all"):
+        bench_attention_bf16()

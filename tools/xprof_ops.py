@@ -128,15 +128,108 @@ def profile_step(batch: int, steps: int = 20) -> dict:
     return device_op_totals(tdir, batch)
 
 
+def profile_text_step(batch: int, steps: int = 20) -> dict:
+    """Text joint train step, bf16, scan-of-steps (the other bs512 roofline
+    point of VERDICT r3 item 4)."""
+    from tinydiffusionmodels_tpu.core import make_schedule
+    from tinydiffusionmodels_tpu.models import (
+        init_learned_embedding,
+        init_learned_rounding,
+        init_tiny_transformer,
+    )
+    from tinydiffusionmodels_tpu.models.transformer import TransformerConfig
+    from tinydiffusionmodels_tpu.train.optim import adamw
+    from tinydiffusionmodels_tpu.train.state import TrainState
+    from tinydiffusionmodels_tpu.train.text_train import (
+        make_text_train_step_multi,
+    )
+
+    vocab, dim, seq = 4096, 256, 64  # bench_text_train's config
+    sched = make_schedule()
+    cfg = TransformerConfig(dim=dim, n_heads=4, depth=3, dropout=0.1,
+                            timesteps=sched.timesteps)
+    key = jax.random.PRNGKey(0)
+    joint = {
+        "diffusion_model": init_tiny_transformer(key, cfg),
+        "rounding_fn": init_learned_rounding(
+            jax.random.fold_in(key, 1), dim, vocab
+        ),
+        "embedding_fn": init_learned_embedding(
+            jax.random.fold_in(key, 2), vocab, dim
+        ),
+    }
+    tx = adamw(1e-4)
+    state = TrainState.create(joint, tx)
+    step = make_text_train_step_multi(
+        sched, cfg, tx, use_learned_embeddings=True,
+        compute_dtype=jnp.bfloat16,
+    )
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(3), (steps, batch, seq), 0, vocab
+    )
+    w = jnp.asarray(1.0)
+    state, losses = step(state, tokens, w, key)
+    float(losses[0])
+    tdir = tempfile.mkdtemp(prefix=f"xprof_text_bs{batch}_")
+    with jax.profiler.trace(tdir):
+        state, losses = step(state, tokens, w, jax.random.fold_in(key, 1))
+        float(losses[0])
+    return device_op_totals(tdir, batch)
+
+
+def profile_guided(batch: int, steps: int = 20, seq_len: int = 64) -> dict:
+    """The batched guided decode scan (VERDICT r3 item 2: where do the
+    379 us/position at bs=256 go?). ``steps`` is unused (the decode is one
+    scan over seq_len positions); kept for the shared program signature."""
+    del steps
+    from tinydiffusionmodels_tpu.models import (
+        init_tiny_gpt,
+        tiny_gpt_decode_step,
+        tiny_gpt_init_cache,
+    )
+    from tinydiffusionmodels_tpu.models.ar_lm import TinyGPTConfig
+    from tinydiffusionmodels_tpu.sample.guided import guided_generate_scan
+
+    cfg = TinyGPTConfig(vocab_size=4096, dim=256, n_heads=4, depth=4,
+                        max_len=seq_len + 1)
+    params = init_tiny_gpt(jax.random.PRNGKey(0), cfg)
+    decode = lambda cache, tok: tiny_gpt_decode_step(params, cache, tok, cfg)
+    diff = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, seq_len, cfg.vocab_size)
+    )
+    gen = jax.jit(
+        lambda d: guided_generate_scan(
+            decode, tiny_gpt_init_cache(cfg, batch), d, 0, alpha=0.3
+        )
+    )
+    out = gen(diff)
+    int(out[0, 0])
+    tdir = tempfile.mkdtemp(prefix=f"xprof_guided_bs{batch}_")
+    with jax.profiler.trace(tdir):
+        out = gen(diff + 1e-3)
+        int(out[0, 0])
+    return device_op_totals(tdir, batch)
+
+
+_PROGRAMS = {
+    "mnist_train": profile_step,
+    "text_train": profile_text_step,
+    "guided": profile_guided,
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="512,2048")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--top", type=int, default=12)
+    ap.add_argument("--program", default="mnist_train",
+                    choices=sorted(_PROGRAMS))
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
+    prog = _PROGRAMS[args.program]
 
-    results = {b: profile_step(b, args.steps) for b in batches}
+    results = {b: prog(b, args.steps) for b in batches}
     base = batches[0]
     ops = sorted(
         results[batches[-1]], key=lambda k: -results[batches[-1]][k][0]
