@@ -66,6 +66,24 @@ class TestFusedDraft:
         b = fused_guided_decode(params, CFG, diff, 1, alpha=0.3)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.parametrize("big_b", [16, 12])
+    def test_chunked_matches_unchunked(self, params, monkeypatch, big_b):
+        """Batches beyond one chunk's VMEM run as (chunks, L) grid sweeps;
+        each chunk must decode exactly what it would alone (incl. the
+        non-multiple batch, which pads to a whole chunk and slices)."""
+        import tinydiffusionmodels_tpu.ops.decode_kernel as dk
+
+        diff = jax.random.normal(jax.random.PRNGKey(5),
+                                 (big_b, L, CFG.vocab_size))
+        whole = np.asarray(
+            fused_guided_decode(params, CFG, diff, 1, alpha=0.3)
+        )
+        monkeypatch.setattr(dk, "fits_vmem", lambda cfg, b, v: b <= 8)
+        chunked = np.asarray(
+            fused_guided_decode(params, CFG, diff, 1, alpha=0.3)
+        )
+        np.testing.assert_array_equal(chunked, whole)
+
     def test_fits_vmem_budget(self):
         assert fits_vmem(TinyGPTConfig(vocab_size=97, dim=256, depth=4,
                                        max_len=65), 8, 97)
@@ -109,6 +127,17 @@ class TestVerifiedExactParity:
                                  (B, L, CFG.vocab_size))
         ref = _scan_ref(params, diff, alpha=0.3)
         out = guided_generate_verified(params, CFG, diff, 1, alpha=0.3)
+        _assert_verified_contract(params, diff, out, ref, alpha=0.3)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_scan_bf16_draft_fixpoint(self, params, seed):
+        """The large-batch draft (bf16 scan + f32 verify) satisfies the
+        same exact-greedy-fixpoint contract as the fused-kernel draft."""
+        diff = jax.random.normal(jax.random.PRNGKey(seed),
+                                 (B, L, CFG.vocab_size))
+        ref = _scan_ref(params, diff, alpha=0.3)
+        out = guided_generate_verified(params, CFG, diff, 1, alpha=0.3,
+                                       draft="scan_bf16")
         _assert_verified_contract(params, diff, out, ref, alpha=0.3)
 
     def test_fixpoint_normalized_mix(self, params):

@@ -104,13 +104,21 @@ def tiny_gpt_apply(params: dict, ids: jax.Array, cfg: TinyGPTConfig) -> jax.Arra
     return linear_apply(params["lm_head"], x)
 
 
-def tiny_gpt_init_cache(cfg: TinyGPTConfig, batch: int) -> dict:
-    """KV cache pytree: per-layer (B, H, max_len, Dh) k/v plus a position."""
+def tiny_gpt_init_cache(
+    cfg: TinyGPTConfig, batch: int, dtype=jnp.float32
+) -> dict:
+    """KV cache pytree: per-layer (B, H, max_len, Dh) k/v plus a position.
+
+    ``dtype=jnp.bfloat16`` halves the dominant HBM term of large-batch
+    decoding (the full cache is re-read every position by attention); used
+    by the draft path of sample.guided.guided_generate_verified, whose f32
+    verification pass restores exact greedy semantics.
+    """
     dh = cfg.dim // cfg.n_heads
     shape = (cfg.depth, batch, cfg.n_heads, cfg.max_len, dh)
     return {
-        "k": jnp.zeros(shape, dtype=jnp.float32),
-        "v": jnp.zeros(shape, dtype=jnp.float32),
+        "k": jnp.zeros(shape, dtype=dtype),
+        "v": jnp.zeros(shape, dtype=dtype),
         "pos": jnp.zeros((), dtype=jnp.int32),
     }
 
@@ -120,22 +128,40 @@ def tiny_gpt_decode_step(
     cache: dict,
     token: jax.Array,
     cfg: TinyGPTConfig,
+    attn_len: int | None = None,
 ) -> tuple[jax.Array, dict]:
     """One KV-cached decode step. token: (B,) int -> (logits (B, V), cache).
 
     Static shapes throughout (cache is max_len long, masked by position), so
     this is scannable: the whole guided decode loop compiles to one XLA
     while/scan program instead of Python-driven per-token dispatches.
+
+    ``attn_len`` (static, ``None`` = max_len) restricts attention to the
+    first ``attn_len`` cache slots — callers that know ``pos < attn_len``
+    (sample.guided.guided_generate_scan's segmented loop) use a growing
+    window so early positions stop re-reading the whole max_len cache, the
+    dominant HBM term of large-batch decoding (~2x traffic at L=64).
+    Exactness: slots >= attn_len are zero-filled and masked out by
+    ``valid`` anyway; excluding exact zeros from a masked softmax does not
+    change it.
     """
     b = token.shape[0]
     pos = cache["pos"]
+    t_len = cfg.max_len if attn_len is None else attn_len
     dh = cfg.dim // cfg.n_heads
     x = jnp.take(params["tok_emb"], token, axis=0)[:, None, :]  # (B, 1, D)
     x = x + jax.lax.dynamic_slice_in_dim(params["pos_emb"], pos, 1, axis=0)
 
-    new_k, new_v = [], []
+    # The cache stays ONE (depth, B, H, T, Dh) array updated in place with
+    # a single-slot dynamic_update_slice per layer. The previous
+    # jnp.stack(per-layer updated copies) rebuilt the full cache every
+    # step — at bs=256 that is ~136 MB of pure write traffic per token on
+    # top of attention's unavoidable read, which is what capped the
+    # scan decoder at 676k tok/s in BENCH_r03. In-place DUS on a scan
+    # carry aliases the buffer, so writes shrink to the new slot.
+    k_all, v_all = cache["k"], cache["v"]
     # valid[j] = (j <= pos): attend to filled cache slots plus ourselves.
-    valid = (jnp.arange(cfg.max_len) <= pos)[None, None, None, :]  # (1,1,1,T)
+    valid = (jnp.arange(t_len) <= pos)[None, None, None, :]  # (1,1,1,t_len)
 
     for i, blk in enumerate(params["blocks"]):
         h = layernorm_apply(blk["ln1"], x)
@@ -145,14 +171,15 @@ def tiny_gpt_decode_step(
         k = k.reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)
 
-        k_cache = jax.lax.dynamic_update_slice(
-            cache["k"][i], k, (0, 0, pos, 0)
-        )  # (B,H,T,Dh)
-        v_cache = jax.lax.dynamic_update_slice(cache["v"][i], v, (0, 0, pos, 0))
-        new_k.append(k_cache)
-        new_v.append(v_cache)
-
-        attn = ops.attention(q, k_cache, v_cache, mask=valid)  # (B,H,1,Dh)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k[None].astype(k_all.dtype), (i, 0, 0, pos, 0)
+        )
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v[None].astype(v_all.dtype), (i, 0, 0, pos, 0)
+        )
+        attn = ops.attention(
+            q, k_all[i, :, :, :t_len], v_all[i, :, :, :t_len], mask=valid
+        )  # (B,H,1,Dh)
         x = x + linear_apply(blk["attn"]["proj"], _merge_heads(attn))
         h = layernorm_apply(blk["ln2"], x)
         x = x + linear_apply(
@@ -161,9 +188,5 @@ def tiny_gpt_decode_step(
 
     x = layernorm_apply(params["ln_f"], x)
     logits = linear_apply(params["lm_head"], x)[:, 0, :]  # (B, V)
-    new_cache = {
-        "k": jnp.stack(new_k),
-        "v": jnp.stack(new_v),
-        "pos": pos + 1,
-    }
+    new_cache = {"k": k_all, "v": v_all, "pos": pos + 1}
     return logits, new_cache

@@ -70,10 +70,10 @@ def _decode_kernel(
     pos_emb_ref,        # (1, 1, D) bf16 — this position's row (streamed)
     lnf_w_ref, lnf_b_ref,
     head_ref,           # (D, V) bf16
-    diff_ref,           # (1, B, V) bf16 — this position's diffusion logits
-                        # (draft-only precision; verification reruns the
-                        # mix in f32)
-    forced_ref,         # (1, 1, B) int32 — committed token (streamed)
+    diff_ref,           # (1, 1, B, V) bf16 — this (chunk, position)'s
+                        # diffusion logits (draft-only precision;
+                        # verification reruns the mix in f32)
+    forced_ref,         # (1, 1, 1, B) int32 — committed token (streamed)
     *layer_refs,        # per layer: ln1w ln1b qkvw qkvb projw projb
                         #            ln2w ln2b fcw fcb mlpw mlpb
                         # then outputs/scratch: tokens_ref, cur_tok, kc, vc
@@ -83,7 +83,11 @@ def _decode_kernel(
     per = 12
     weights = layer_refs[: depth * per]
     tokens_ref, cur_tok, kc, vc = layer_refs[depth * per:]
-    pos = pl.program_id(0)
+    # grid = (batch chunks, positions), positions fastest: each chunk runs
+    # its full position sweep with the SAME VMEM-resident weights (constant
+    # index_map ⇒ fetched once for the whole grid), and the pos==0 reset
+    # below reinitializes the carried token + KV scratch per chunk.
+    pos = pl.program_id(1)
     b = cur_tok.shape[1]
     v = tok_emb_ref.shape[0]
     d = tok_emb_ref.shape[1]
@@ -162,7 +166,7 @@ def _decode_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * inv_t
-        d_c = diff_ref[0][:, c:c + chunk].astype(jnp.float32) * inv_t
+        d_c = diff_ref[0, 0][:, c:c + chunk].astype(jnp.float32) * inv_t
         return a_c, d_c
 
     if normalize:
@@ -207,9 +211,9 @@ def _decode_kernel(
     nxt = best_idx[None, :]  # (1, B)
     # Teacher-forcing for verified re-drafts: positions < start replay the
     # committed tokens (the forward still runs — it must fill the cache).
-    nxt = jnp.where(pos < bos_ref[1], forced_ref[0], nxt)
+    nxt = jnp.where(pos < bos_ref[1], forced_ref[0, 0], nxt)
     cur_tok[:] = nxt
-    tokens_ref[0] = nxt
+    tokens_ref[0, 0] = nxt
 
 
 def _cast_weights(params, depth):
@@ -249,6 +253,20 @@ def fits_vmem(cfg, batch: int, vocab: int) -> bool:
     return core + emb + cache + diff + work < 14 * 1024 * 1024
 
 
+def _pick_chunk(cfg, b: int, vocab: int) -> int:
+    """Largest batch chunk the persistent kernel can hold in VMEM.
+
+    Whole-batch if it fits; otherwise the largest multiple of 8 that does
+    (8 = the sublane count — the KV scratch's (B, Dh) trailing tile and the
+    per-head (T, B) score tiles stay aligned)."""
+    if fits_vmem(cfg, b, vocab):
+        return b
+    for cand in range((b - 1) // 8 * 8, 8, -8):
+        if fits_vmem(cfg, cand, vocab):
+            return cand
+    return 8
+
+
 def fused_guided_decode(
     params: dict,
     cfg,
@@ -262,8 +280,10 @@ def fused_guided_decode(
     """Whole guided decode (B, L, V) diffusion logits -> (B, L) tokens in
     one persistent Pallas call (see module docstring). bf16 weights; use
     sample.guided.guided_generate_verified for bit-exact greedy parity
-    with the f32 scan path."""
-    return _fused_guided_decode_impl(
+    with the f32 scan path. Batches beyond one chunk's VMEM capacity run
+    as sequential chunk sweeps inside the same kernel (grid=(chunks, L))
+    so the weights are still fetched exactly once."""
+    return _fused_guided_decode_batched_impl(
         params, cfg, diff_logits_all, bos_token,
         jnp.zeros((), jnp.int32),
         jnp.zeros(diff_logits_all.shape[:2], jnp.int32),
@@ -271,7 +291,11 @@ def fused_guided_decode(
     )
 
 
-def _fused_guided_decode_impl(
+# bench.py / routing-facing alias: chunking is built in.
+fused_guided_decode_batched = fused_guided_decode
+
+
+def _fused_guided_decode_batched_impl(
     params, cfg, diff_logits_all, bos_token, start, forced, *,
     alpha, temperature, normalize,
 ):
@@ -281,12 +305,30 @@ def _fused_guided_decode_impl(
     d = cfg.dim
     dh = d // cfg.n_heads
     t_pad = -(-cfg.max_len // 8) * 8
+    c_sz = _pick_chunk(cfg, b, vocab)
+    n_chunks = -(-b // c_sz)
+    b_pad = n_chunks * c_sz
+
+    diff_op = jnp.asarray(diff_logits_all, jnp.bfloat16)
+    forced_op = jnp.asarray(forced, jnp.int32)
+    if b_pad != b:
+        diff_op = jnp.pad(diff_op, ((0, b_pad - b), (0, 0), (0, 0)))
+        forced_op = jnp.pad(forced_op, ((0, b_pad - b), (0, 0)))
+    # (B, L, V) -> (C, L, c, V): chunk-major so each streamed block's last
+    # two dims are the FULL (c, V) — Mosaic's block-tiling rule forbids a
+    # partial row in the last two positions.
+    diff_op = diff_op.reshape(n_chunks, c_sz, seq_len, vocab).transpose(
+        0, 2, 1, 3
+    )
+    # (B, L) -> (C, L, 1, c)
+    forced_op = forced_op.reshape(n_chunks, c_sz, seq_len).transpose(
+        0, 2, 1
+    )[:, :, None, :]
 
     const = lambda ref_shape: pl.BlockSpec(
-        ref_shape, lambda i: tuple(0 for _ in ref_shape),
+        ref_shape, lambda c, i: tuple(0 for _ in ref_shape),
         memory_space=pltpu.VMEM,
     )
-    wspecs = []
     weights = _cast_weights(params, cfg.depth)
     head = jnp.asarray(params["lm_head"]["w"], jnp.bfloat16)
     operands = [
@@ -303,17 +345,14 @@ def _fused_guided_decode_impl(
         # in-kernel dynamic sublane index aligned, so stream via index_map
         # ((Lmax, 1, D) layout: a (1, 1, D) block satisfies the last-two-
         # dims tiling rule because dim 1 IS size 1).
-        pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, d), lambda c, i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     in_specs += [const(o.shape) for o in operands[2:]]
     in_specs += [
-        # (L, B, V) layout: the streamed block's last two dims are the FULL
-        # (B, V) — Mosaic's block-tiling rule forbids a size-1 row in the
-        # last two positions.
-        pl.BlockSpec((1, b, vocab), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, c_sz, vocab), lambda c, i: (c, i, 0, 0),
                      memory_space=pltpu.VMEM),              # diff row
-        pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, 1, c_sz), lambda c, i: (c, i, 0, 0),
                      memory_space=pltpu.VMEM),              # forced token
     ]
     in_specs += [const(w.shape) for w in weights]
@@ -325,13 +364,14 @@ def _fused_guided_decode_impl(
     )
     tokens = pl.pallas_call(
         kernel,
-        grid=(seq_len,),
+        grid=(n_chunks, seq_len),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, b), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, 1, c_sz), lambda c, i: (c, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((seq_len, 1, b), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, seq_len, 1, c_sz),
+                                       jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((1, b), jnp.int32),                          # cur_tok
+            pltpu.VMEM((1, c_sz), jnp.int32),                       # cur_tok
             # bf16 cache halves the largest scratch block (VMEM budget);
             # the f32 verification pass absorbs the draft-precision loss.
             # T-leading layout: see the kernel's cache comment. T is padded
@@ -339,18 +379,27 @@ def _fused_guided_decode_impl(
             # intermediates then tile cleanly instead of relayouting a
             # (65, B) block every position; the causal mask (tpos <= pos)
             # already excludes the zeroed pad rows.
-            pltpu.VMEM((t_pad, cfg.depth, cfg.n_heads, b, dh),
+            pltpu.VMEM((t_pad, cfg.depth, cfg.n_heads, c_sz, dh),
                        jnp.bfloat16),                               # k cache
-            pltpu.VMEM((t_pad, cfg.depth, cfg.n_heads, b, dh),
+            pltpu.VMEM((t_pad, cfg.depth, cfg.n_heads, c_sz, dh),
                        jnp.bfloat16),                               # v cache
         ],
+        # Mosaic's default scoped-vmem cap is 16 MiB; the resident
+        # weights + KV scratch legitimately sit just above it at
+        # vocab=4096/c=8 (measured 16.35 MiB). v5e has 128 MiB of
+        # physical VMEM — raise the cap, keep fits_vmem's 14 MiB model
+        # as the chunk-size planner.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=_interpret(),
     )(
         jnp.stack([jnp.asarray(bos_token, jnp.int32),
                    jnp.asarray(start, jnp.int32)]),
         *operands,
-        jnp.asarray(diff_logits_all, jnp.bfloat16).transpose(1, 0, 2),
-        jnp.asarray(forced, jnp.int32).T[:, None, :],
+        diff_op,
+        forced_op,
         *weights,
     )
-    return tokens[:, 0, :].T
+    # (C, L, 1, c) -> (B, L)
+    return tokens[:, :, 0, :].transpose(0, 2, 1).reshape(b_pad, seq_len)[:b]

@@ -253,6 +253,7 @@ def guided_sample_text(
     alpha: float = 0.3,
     temperature: float = 1.0,
     normalize: bool = False,
+    seg: int | None = None,
     outdir: str = "samples",
     save: bool = True,
     log_fn=print,
@@ -262,7 +263,9 @@ def guided_sample_text(
 
     ``normalize=True`` mixes log-probabilities instead of raw logits (see
     sample.guided.mix_logits) — a framework extension; default is exact
-    reference behavior."""
+    reference behavior. ``seg`` enables the segmented growing-attention-
+    window scan (see sample.guided.guided_generate_scan); the decode_step
+    must then accept a third ``attn_len`` argument."""
     diff_logits = diffusion_position_logits(
         z,
         rounding_params=rounding_params,
@@ -272,7 +275,7 @@ def guided_sample_text(
     bos = tokenizer.bos_token_id or tokenizer.eos_token_id or 0
     tokens = guided_generate_scan(
         decode_step, init_cache, diff_logits, bos,
-        alpha=alpha, temperature=temperature, normalize=normalize,
+        alpha=alpha, temperature=temperature, normalize=normalize, seg=seg,
     )
     texts = tokenizer.batch_decode(np.asarray(tokens), skip_special_tokens=True)
 

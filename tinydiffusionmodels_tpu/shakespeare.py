@@ -530,6 +530,7 @@ def main(argv=None) -> None:
 
     # --- guided sampling --------------------------------------------------
     if args.guided_sample:
+        from tinydiffusionmodels_tpu.sample.guided import default_seg
         from tinydiffusionmodels_tpu.sample.text import (
             diffusion_position_logits,
             guided_sample_text,
@@ -672,8 +673,8 @@ def main(argv=None) -> None:
                     {"params": tree_to_numpy(lm_params)}, args.lm_ckpt
                 )
 
-            decode = lambda cache, tok: tiny_gpt_decode_step(
-                lm_params, cache, tok, lm_cfg
+            decode = lambda cache, tok, attn_len=None: tiny_gpt_decode_step(
+                lm_params, cache, tok, lm_cfg, attn_len
             )
             guided_sample_text(
                 decode,
@@ -685,6 +686,7 @@ def main(argv=None) -> None:
                 alpha=args.alpha,
                 temperature=args.temperature,
                 normalize=args.guidance_norm,
+                seg=default_seg(args.n),
             )
 
     _prof.close()

@@ -60,15 +60,21 @@ EOF
 }
 
 phase_a() {
-  # Replicated flagships (existing checkpoints; 3 seeds x 64 samples).
-  run_entry r4_flag_rope6 runs/r3_rope6_512.pth "" \
+  # Replicated flagships (3 seeds x 64 samples). Round-3 checkpoints do
+  # not survive between rounds, so each entry carries the exact r3 ladder
+  # training flags (quality_ladder.sh COMMON: epochs 200 / patience 30)
+  # and retrains if the checkpoint is missing.
+  run_entry r4_flag_rope6 runs/r3_rope6_512.pth \
+    "--depth 6 --epochs 200 --patience 30" \
     "--clamp --n 64 --seeds 3" || true
-  run_entry r4_flag_rope9 runs/r3_rope9_512.pth "" \
+  run_entry r4_flag_rope9 runs/r3_rope9_512.pth \
+    "--depth 9 --epochs 200 --patience 30" \
     "--clamp --n 64 --seeds 3" || true
-  run_entry r4_flag_bpe runs/r3_bpe_rope6.pth "" \
+  run_entry r4_flag_bpe runs/r3_bpe_rope6.pth \
+    "--model_id bpe:512 --depth 6 --epochs 200 --patience 30" \
     "--clamp --n 64 --seeds 3 --lm_ckpt runs/lm_bpe512.pth" || true
   run_entry r4_flag_guided runs/r3_rope6_512.pth "" \
-    "--mode guided --alpha 0.3 --n 64 --seeds 3" || true
+    "--mode guided --alpha 0.3 --guidance_norm --n 64 --seeds 3" || true
 }
 
 phase_b() {

@@ -210,6 +210,7 @@ def main() -> None:
             tiny_gpt_decode_step,
             tiny_gpt_init_cache,
         )
+        from tinydiffusionmodels_tpu.sample.guided import default_seg
         from tinydiffusionmodels_tpu.sample.text import (
             guided_sample_text,
             sample_diffusion_embeddings,
@@ -224,14 +225,14 @@ def main() -> None:
         )
         # The guided base LM is the same judge-size TinyGPT (shared cache).
         return guided_sample_text(
-            lambda cache, tok: tiny_gpt_decode_step(
-                lm_params, cache, tok, lm_cfg
+            lambda cache, tok, attn_len=None: tiny_gpt_decode_step(
+                lm_params, cache, tok, lm_cfg, attn_len
             ),
             tiny_gpt_init_cache(lm_cfg, args.n),
             z, tokenizer,
             rounding_params=rounding_params, embed_matrix=embed_matrix,
             use_learned_rounding=True, alpha=args.alpha,
-            normalize=args.guidance_norm, save=False,
+            normalize=args.guidance_norm, save=False, seg=default_seg(args.n),
             log_fn=lambda *_: None,
         )
 

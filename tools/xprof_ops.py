@@ -193,13 +193,15 @@ def profile_guided(batch: int, steps: int = 20, seq_len: int = 64) -> dict:
     cfg = TinyGPTConfig(vocab_size=4096, dim=256, n_heads=4, depth=4,
                         max_len=seq_len + 1)
     params = init_tiny_gpt(jax.random.PRNGKey(0), cfg)
-    decode = lambda cache, tok: tiny_gpt_decode_step(params, cache, tok, cfg)
+    decode = lambda cache, tok, attn_len=None: tiny_gpt_decode_step(
+        params, cache, tok, cfg, attn_len
+    )
     diff = jax.random.normal(
         jax.random.PRNGKey(1), (batch, seq_len, cfg.vocab_size)
     )
     gen = jax.jit(
         lambda d: guided_generate_scan(
-            decode, tiny_gpt_init_cache(cfg, batch), d, 0, alpha=0.3
+            decode, tiny_gpt_init_cache(cfg, batch), d, 0, alpha=0.3, seg=8
         )
     )
     out = gen(diff)
