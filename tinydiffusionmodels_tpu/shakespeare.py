@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "loss term against the nearest-embedding "
                              "clamped prediction the sampler uses "
                              "(requires --parameterization x0)")
+    parser.add_argument("--anchor_ce", type=float, default=0.0,
+                        help="weight of Diffusion-LM's anchor term: the "
+                             "rounding head's CE on the PREDICTED x0, "
+                             "gradient flowing into the denoiser so its "
+                             "outputs are decodable (0 = off; designed "
+                             "for --parameterization x0)")
     parser.add_argument("--depth", type=int, default=3,
                         help="denoiser encoder layers (reference hardcodes "
                              "3, src/shakespeare.py:106; sampling infers "
@@ -402,6 +408,7 @@ def main(argv=None) -> None:
             noise_schedule=args.noise_schedule,
             embed_norm=args.embed_norm,
             freeze_embeddings=args.freeze_embeddings,
+            anchor_ce=args.anchor_ce,
         )
         diff_params = final["diffusion_model"]
         rounding_params = final["rounding_fn"]

@@ -83,6 +83,7 @@ def _losses(
     clamp_train: bool = False,
     embed_norm: str = "none",
     freeze_embeddings: bool = False,
+    anchor_ce: float = 0.0,
 ):
     """Joint diffusion + rounding loss (reference src/shakespeare.py:224-243).
 
@@ -105,7 +106,17 @@ def _losses(
     denoiser-only: both the snap lookup and the target are stop-gradiented
     so it cannot collapse the embedding table (emb[pred] being pulled onto
     emb[true] is exactly the rounding CE's job, in logit space where it
-    belongs)."""
+    belongs).
+
+    ``anchor_ce``: weight of Diffusion-LM's anchor term (Li et al. 2022,
+    the L_round-on-model-output piece of their end-to-end objective): the
+    rounding head's CE evaluated on the PREDICTED x0 instead of the true
+    one, with gradient flowing into the denoiser. The plain rounding CE
+    only teaches the head to decode clean embeddings; the anchor makes the
+    denoiser's outputs *decodable*, pulling predictions toward regions the
+    head maps to the right token. Designed for --parameterization x0
+    (under eps the x0 reconstruction at high t divides by a small
+    sqrt(alpha_cumprod) and the term gets noisy)."""
     if use_learned_embeddings:
         emb_w = joint_params["embedding_fn"]["weight"]
     else:
@@ -196,13 +207,38 @@ def _losses(
         jnp.take_along_axis(logp, token_ids[..., None], axis=-1)
     )
     total = diffusion_loss + rounding_weight * rounding_loss
+    if anchor_ce:
+        if parameterization == "x0":
+            x0_pred = pred_f32
+        else:
+            from tinydiffusionmodels_tpu.core.diffusion import _bcast
+
+            sqrt_acp = _bcast(sched.sqrt_alphas_cumprod, t, pred_f32.ndim)
+            sqrt_om = _bcast(
+                sched.sqrt_one_minus_alphas_cumprod, t, pred_f32.ndim
+            )
+            x0_pred = (
+                x_noisy.astype(jnp.float32) - sqrt_om * pred_f32
+            ) / sqrt_acp
+        x0_pred_c = x0_pred
+        if compute_dtype is not None:
+            x0_pred_c = x0_pred.astype(compute_dtype)
+        logits_pred = rounding_apply(params_c["rounding_fn"], x0_pred_c)
+        logp_pred = jax.nn.log_softmax(
+            logits_pred.astype(jnp.float32), axis=-1
+        )
+        anchor_loss = -jnp.mean(
+            jnp.take_along_axis(logp_pred, token_ids[..., None], axis=-1)
+        )
+        total = total + anchor_ce * anchor_loss
     return total, (diffusion_loss, rounding_loss)
 
 
 def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
                          pretrained_matrix=None, compute_dtype=None,
                          parameterization="eps", clamp_train=False,
-                         embed_norm="none", freeze_embeddings=False):
+                         embed_norm="none", freeze_embeddings=False,
+                         anchor_ce=0.0):
     """(state, tokens (B,L), weight, key) -> (state, (diff, round, total))."""
 
     def loss_fn(params, token_ids, rounding_weight, key):
@@ -225,7 +261,7 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
             clamp_train=clamp_train, embed_norm=embed_norm,
-            freeze_embeddings=freeze_embeddings,
+            freeze_embeddings=freeze_embeddings, anchor_ce=anchor_ce,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -244,7 +280,8 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
 def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
                                pretrained_matrix=None, compute_dtype=None,
                                parameterization="eps", clamp_train=False,
-                         embed_norm="none", freeze_embeddings=False):
+                         embed_norm="none", freeze_embeddings=False,
+                         anchor_ce=0.0):
     """Scan K optimizer steps in one dispatch (see mnist_train.
     make_train_step_multi for why): (state, tokens (K, B, L), weight, key)
     -> (state, summed (diff, round, total))."""
@@ -269,7 +306,7 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
             clamp_train=clamp_train, embed_norm=embed_norm,
-            freeze_embeddings=freeze_embeddings,
+            freeze_embeddings=freeze_embeddings, anchor_ce=anchor_ce,
         )
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -299,7 +336,8 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
                                    use_learned_embeddings,
                                    pretrained_matrix=None, compute_dtype=None,
                                    parameterization="eps", clamp_train=False,
-                         embed_norm="none", freeze_embeddings=False):
+                         embed_norm="none", freeze_embeddings=False,
+                         anchor_ce=0.0):
     """Scan-of-steps with an EMA of the joint params maintained in the same
     dispatch (see mnist_train.make_train_step_multi_ema):
     (state, ema, tokens (K, B, L), weight, key) -> (state, ema, sums)."""
@@ -324,7 +362,7 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
             deterministic=False, key=substream(key, "dropout"),
             compute_dtype=compute_dtype, parameterization=parameterization,
             clamp_train=clamp_train, embed_norm=embed_norm,
-            freeze_embeddings=freeze_embeddings,
+            freeze_embeddings=freeze_embeddings, anchor_ce=anchor_ce,
         )
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -357,7 +395,8 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
 def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
                         pretrained_matrix=None, compute_dtype=None,
                         parameterization="eps", clamp_train=False,
-                         embed_norm="none", freeze_embeddings=False):
+                         embed_norm="none", freeze_embeddings=False,
+                         anchor_ce=0.0):
     @jax.jit
     def eval_step(params, token_ids, rounding_weight, key):
         b = token_ids.shape[0]
@@ -379,7 +418,7 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
             deterministic=True, key=None,
             compute_dtype=compute_dtype, parameterization=parameterization,
             clamp_train=clamp_train, embed_norm=embed_norm,
-            freeze_embeddings=freeze_embeddings,
+            freeze_embeddings=freeze_embeddings, anchor_ce=anchor_ce,
         )
         return diff, round_, total
 
@@ -389,14 +428,15 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
 def make_text_eval_multi(sched, cfg, *, use_learned_embeddings,
                          pretrained_matrix=None, compute_dtype=None,
                          parameterization="eps", clamp_train=False,
-                         embed_norm="none", freeze_embeddings=False):
+                         embed_norm="none", freeze_embeddings=False,
+                         anchor_ce=0.0):
     """Scanned validation pass: (params, tokens (K, B, L), weight, key) ->
     summed (diff, round, total) over K batches in one dispatch."""
     eval_one = make_text_eval_step(
         sched, cfg, use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
         parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
-            freeze_embeddings=freeze_embeddings,
+            freeze_embeddings=freeze_embeddings, anchor_ce=anchor_ce,
     )
 
     @jax.jit
@@ -421,7 +461,8 @@ def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
                      self_cond: bool = False,
                      noise_schedule: str = "linear",
                      embed_norm: str = "none",
-                     pos_emb: str = "none") -> dict:
+                     pos_emb: str = "none",
+                     anchor_ce: float = 0.0) -> dict:
     ckpt: dict[str, Any] = {
         "diffusion_model": transformer_to_state_dict(
             jax.device_get(params["diffusion_model"])
@@ -441,6 +482,11 @@ def _checkpoint_dict(params: dict, *, epoch: int, use_learned_embeddings: bool,
         # 'abs' is additionally self-detecting via pos_emb.weight.
         "pos_emb": pos_emb,
     }
+    if anchor_ce:
+        # Train-only provenance (samplers don't read it): the Diffusion-LM
+        # anchor weight this checkpoint was trained with. Key omitted when
+        # zero so pre-anchor checkpoints' key set is unchanged.
+        ckpt["anchor_ce"] = anchor_ce
     if use_learned_embeddings and "embedding_fn" in params:
         ckpt["embedding_fn"] = embedding_to_state_dict(
             jax.device_get(params["embedding_fn"])
@@ -484,6 +530,7 @@ def train(
     noise_schedule: str = "linear",
     embed_norm: str = "none",
     freeze_embeddings: bool = False,
+    anchor_ce: float = 0.0,
     log_fn=print,
 ) -> dict:
     """Epoch loop with validation + early stopping
@@ -538,7 +585,7 @@ def train(
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
             parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
-            freeze_embeddings=freeze_embeddings,
+            freeze_embeddings=freeze_embeddings, anchor_ce=anchor_ce,
         )
     else:
         train_multi_ema = make_text_train_step_multi_ema(
@@ -546,14 +593,14 @@ def train(
             use_learned_embeddings=use_learned_embeddings,
             pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
             parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
-            freeze_embeddings=freeze_embeddings,
+            freeze_embeddings=freeze_embeddings, anchor_ce=anchor_ce,
         )
     eval_multi = make_text_eval_multi(
         sched, cfg,
         use_learned_embeddings=use_learned_embeddings,
         pretrained_matrix=pretrained_matrix, compute_dtype=compute_dtype,
         parameterization=parameterization, clamp_train=clamp_train, embed_norm=embed_norm,
-            freeze_embeddings=freeze_embeddings,
+            freeze_embeddings=freeze_embeddings, anchor_ce=anchor_ce,
     )
 
     from tinydiffusionmodels_tpu.train.metrics import MetricsLogger
@@ -735,6 +782,7 @@ def train(
                     noise_schedule=noise_schedule,
                     embed_norm=embed_norm,
                     pos_emb=cfg.pos_kind,
+                    anchor_ce=anchor_ce,
                 ),
                 best_ckpt_path,
             )
@@ -793,6 +841,7 @@ def train(
             noise_schedule=noise_schedule,
             embed_norm=embed_norm,
             pos_emb=cfg.pos_kind,
+            anchor_ce=anchor_ce,
         ),
         final_ckpt_path,
     )

@@ -133,6 +133,22 @@ phase_d() {
   done
 }
 
+phase_e() {
+  # Training-side frontier, new lever: Diffusion-LM's anchor CE (rounding
+  # CE on the PREDICTED x0, --anchor_ce) — pulls the denoiser toward
+  # decodable embeddings instead of only teaching the head to decode
+  # clean ones.
+  run_entry r4_rope6_anchor runs/r4_rope6_anchor.pth \
+    "--depth 6 --anchor_ce 0.5" "--clamp --n 32 --seeds 2" || true
+  run_entry r4_rope9_anchor runs/r4_rope9_anchor.pth \
+    "--depth 9 --anchor_ce 0.5" "--clamp --n 32 --seeds 2" || true
+  for name in r4_rope6_anchor r4_rope9_anchor; do
+    [ -f "runs/${name}.pth" ] || continue
+    run_entry "${name}_dpmpp20" "runs/${name}.pth" "" \
+      "--clamp --n 32 --seeds 2 --sampler dpm++ --steps 20" || true
+  done
+}
+
 phases="${*:-a b c}"
 for p in $phases; do
   "phase_$p"
