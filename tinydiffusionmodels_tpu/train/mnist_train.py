@@ -23,7 +23,7 @@ import numpy as np
 import optax
 
 from tinydiffusionmodels_tpu.core import DiffusionSchedule, make_schedule, q_sample
-from tinydiffusionmodels_tpu.core.rng import substream
+from tinydiffusionmodels_tpu.core.rng import draw_noise, substream
 from tinydiffusionmodels_tpu.data.loader import batch_iterator
 from tinydiffusionmodels_tpu.data.mnist import load_mnist, normalize_mnist
 from tinydiffusionmodels_tpu.io import (
@@ -60,7 +60,7 @@ def make_train_step(
         t = jax.random.randint(
             substream(key, "timesteps"), (b,), 0, sched.timesteps
         )
-        noise = jax.random.normal(substream(key, "noise"), batch.shape)
+        noise = draw_noise(substream(key, "noise"), batch.shape)
         x_noisy = q_sample(sched, batch, t, noise)
         params_c = cast_floating(params, compute_dtype)
         if compute_dtype is not None:
@@ -104,7 +104,7 @@ def make_train_step_multi(sched: DiffusionSchedule, tx, n_inner: int = 0,
         t = jax.random.randint(
             substream(key, "timesteps"), (b,), 0, sched.timesteps
         )
-        noise = jax.random.normal(substream(key, "noise"), batch.shape)
+        noise = draw_noise(substream(key, "noise"), batch.shape)
         x_noisy = q_sample(sched, batch, t, noise)
         params_c = cast_floating(params, compute_dtype)
         if compute_dtype is not None:
@@ -160,7 +160,7 @@ def make_train_step_multi_ema(sched: DiffusionSchedule, tx, *,
         t = jax.random.randint(
             substream(key, "timesteps"), (b,), 0, sched.timesteps
         )
-        noise = jax.random.normal(substream(key, "noise"), batch.shape)
+        noise = draw_noise(substream(key, "noise"), batch.shape)
         x_noisy = q_sample(sched, batch, t, noise)
         params_c = cast_floating(params, compute_dtype)
         if compute_dtype is not None:

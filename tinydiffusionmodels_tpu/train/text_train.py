@@ -24,7 +24,7 @@ import numpy as np
 import optax
 
 from tinydiffusionmodels_tpu.core import DiffusionSchedule, q_sample
-from tinydiffusionmodels_tpu.core.rng import substream
+from tinydiffusionmodels_tpu.core.rng import draw_noise, substream
 from tinydiffusionmodels_tpu.data.loader import batch_iterator, num_batches
 from tinydiffusionmodels_tpu.io import (
     get_vertex_checkpoint_path,
@@ -250,7 +250,7 @@ def make_text_train_step(sched, cfg, tx, *, use_learned_embeddings,
             dim = params["embedding_fn"]["weight"].shape[1]
         else:
             dim = pretrained_matrix.shape[1]
-        noise = jax.random.normal(
+        noise = draw_noise(
             substream(key, "noise"), (b, token_ids.shape[1], dim)
         )
         return _losses(
@@ -295,7 +295,7 @@ def make_text_train_step_multi(sched, cfg, tx, *, use_learned_embeddings,
             dim = params["embedding_fn"]["weight"].shape[1]
         else:
             dim = pretrained_matrix.shape[1]
-        noise = jax.random.normal(
+        noise = draw_noise(
             substream(key, "noise"), (b, token_ids.shape[1], dim)
         )
         return _losses(
@@ -351,7 +351,7 @@ def make_text_train_step_multi_ema(sched, cfg, tx, *, ema_decay,
             dim = params["embedding_fn"]["weight"].shape[1]
         else:
             dim = pretrained_matrix.shape[1]
-        noise = jax.random.normal(
+        noise = draw_noise(
             substream(key, "noise"), (b, token_ids.shape[1], dim)
         )
         return _losses(
@@ -407,7 +407,7 @@ def make_text_eval_step(sched, cfg, *, use_learned_embeddings,
             dim = params["embedding_fn"]["weight"].shape[1]
         else:
             dim = pretrained_matrix.shape[1]
-        noise = jax.random.normal(
+        noise = draw_noise(
             substream(key, "noise"), (b, token_ids.shape[1], dim)
         )
         total, (diff, round_) = _losses(
