@@ -13,7 +13,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tinydiffusionmodels_tpu.core.rng import counter_normal, draw_noise
+from tinydiffusionmodels_tpu.core.rng import (
+    counter_bernoulli,
+    counter_normal,
+    draw_keep,
+    draw_noise,
+)
 
 
 class TestCounterNormal:
@@ -106,4 +111,41 @@ class TestDrawNoise:
         np.testing.assert_array_equal(
             np.asarray(draw_noise(k, (128,))),
             np.asarray(counter_normal(k, (128,))),
+        )
+
+
+class TestCounterBernoulli:
+    def test_keep_rate(self):
+        for p in (0.1, 0.5, 0.9):
+            m = counter_bernoulli(jax.random.PRNGKey(0), p, (1 << 18,))
+            frac = float(jnp.mean(m.astype(jnp.float32)))
+            assert abs(frac - p) < 5e-3, (p, frac)
+
+    def test_deterministic_and_key_dependent(self):
+        k = jax.random.PRNGKey(1)
+        a = counter_bernoulli(k, 0.5, (4096,))
+        b = counter_bernoulli(k, 0.5, (4096,))
+        c = counter_bernoulli(jax.random.PRNGKey(2), 0.5, (4096,))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(jnp.mean((a != c).astype(jnp.float32))) > 0.4
+
+    def test_independent_of_noise_stream(self):
+        """The mask hash and the normal hash from the SAME key must not be
+        correlated (dropout and noise share per-step keys upstream)."""
+        k = jax.random.PRNGKey(3)
+        z = np.asarray(counter_normal(k, (1 << 16,)))
+        m = np.asarray(counter_bernoulli(k, 0.5, (1 << 16,))).astype(float)
+        assert abs(np.corrcoef(z, m)[0, 1]) < 0.01
+
+    def test_draw_keep_routes(self, monkeypatch):
+        k = jax.random.PRNGKey(4)
+        monkeypatch.setenv("TDM_FAST_NOISE", "1")
+        np.testing.assert_array_equal(
+            np.asarray(draw_keep(k, 0.9, (256,))),
+            np.asarray(counter_bernoulli(k, 0.9, (256,))),
+        )
+        monkeypatch.delenv("TDM_FAST_NOISE")
+        np.testing.assert_array_equal(
+            np.asarray(draw_keep(k, 0.9, (256,))),
+            np.asarray(jax.random.bernoulli(k, 0.9, (256,))),
         )

@@ -88,6 +88,24 @@ def counter_normal(key: jax.Array, shape: tuple[int, ...],
     return z.reshape(shape).astype(dtype)
 
 
+def counter_bernoulli(key: jax.Array, p: float,
+                      shape: tuple[int, ...]) -> jax.Array:
+    """Boolean keep-mask: P(True) = p, from the same counter hash as
+    counter_normal (dropout needs uniformity, not unpredictability)."""
+    n = math.prod(shape)
+    if n == 0:
+        return jnp.zeros(shape, bool)
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    seed = kd[0]
+    for i in range(1, kd.shape[0]):
+        seed = _fmix32(seed ^ (kd[i] + jnp.uint32(0x9E3779B9)))
+    # Salt so a same-key mask never shares counter_normal's h1 stream.
+    seed = _fmix32(seed ^ jnp.uint32(0x38D1BB47))
+    h = _fmix32(jax.lax.iota(jnp.uint32, n) * jnp.uint32(0x9E3779B9) + seed)
+    thresh = jnp.uint32(min(int((1.0 - p) * 2**32), 2**32 - 1))
+    return (h >= thresh).reshape(shape)
+
+
 def draw_noise(key: jax.Array, shape: tuple[int, ...],
                dtype=jnp.float32) -> jax.Array:
     """Train-loop noise draw: jax.random.normal, or the fused counter-based
@@ -96,3 +114,12 @@ def draw_noise(key: jax.Array, shape: tuple[int, ...],
     if os.environ.get("TDM_FAST_NOISE", "0") == "1":
         return counter_normal(key, shape, dtype)
     return jax.random.normal(key, shape, dtype)
+
+
+def draw_keep(key: jax.Array, keep_prob: float,
+              shape: tuple[int, ...]) -> jax.Array:
+    """Dropout keep-mask draw: jax.random.bernoulli, or the counter-based
+    path under TDM_FAST_NOISE=1 (same knob as draw_noise)."""
+    if os.environ.get("TDM_FAST_NOISE", "0") == "1":
+        return counter_bernoulli(key, keep_prob, shape)
+    return jax.random.bernoulli(key, keep_prob, shape)

@@ -79,10 +79,16 @@ def dropout(
     *,
     deterministic: bool,
 ) -> jax.Array:
-    """Inverted dropout matching torch nn.Dropout semantics."""
+    """Inverted dropout matching torch nn.Dropout semantics.
+
+    Mask draws route through core.rng.draw_keep, so TDM_FAST_NOISE=1 swaps
+    the stock bernoulli (bits materialized to HBM) for the counter-based
+    hash that fuses into the consumer."""
     if deterministic or rate == 0.0:
         return x
     if key is None:
         raise ValueError("dropout in training mode requires a PRNG key")
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    from tinydiffusionmodels_tpu.core.rng import draw_keep
+
+    keep = draw_keep(key, 1.0 - rate, x.shape)
     return jnp.where(keep, x / (1.0 - rate), 0.0)
