@@ -91,8 +91,8 @@ def _median(xs: list[float]) -> float:
     return sorted(xs)[len(xs) // 2]
 
 
-def _chain_timeit(fn, x0, k1: int = 4, k2: int = 20,
-                  windows: int = 5) -> list[float]:
+def _chain_timeit(fn, x0, k1: int = 4, k2: int | None = None,
+                  windows: int = 5, min_window_s: float = 0.6) -> list[float]:
     """True serial DEVICE time per fn call, tunnel-dispatch excluded.
 
     A single dispatch+readback over the remote axon tunnel costs ~25-30 ms
@@ -103,6 +103,16 @@ def _chain_timeit(fn, x0, k1: int = 4, k2: int = 20,
     the K calls back-to-back while dispatches pipeline ahead; the slope
     (t(k2) - t(k1)) / (k2 - k1) is pure device time. Returns one slope
     per window (seconds/call).
+
+    ``k2=None`` (default) sizes the chain adaptively: after compiling, a
+    probe run estimates the per-call time and k2 is chosen so the slope
+    window (k2-k1 extra calls) covers >= ``min_window_s`` of device time.
+    The slope is a DIFFERENCE of two jittery wall-clock spans, so its
+    noise is the sync jitter (~25 ms tunnel tail) over the window length:
+    the old fixed 16-call window put a ~4 ms fused decode at ~64 ms of
+    signal against that jitter — >15% envelope spread and occasional
+    NEGATIVE slopes (BENCH r4 quick run: attempt min/median -0.08). 0.6 s
+    windows bound the jitter term at ~4%.
     """
     def run(k):
         x = x0
@@ -117,6 +127,16 @@ def _chain_timeit(fn, x0, k1: int = 4, k2: int = 20,
         return out
 
     _sync(run(2))  # compile both branches
+    if k2 is None:
+        t0 = time.perf_counter()
+        _sync(run(8))
+        per_call = (time.perf_counter() - t0) / 8
+        # 16..4096 extra calls: floor keeps slow fns honest; the cap only
+        # binds below ~0.15 ms/call where 4096 chained calls already give
+        # a >=0.6 s window. (A 512 cap left ~0.4 ms calls — guided decode
+        # bs=8 — at 0.2 s windows and >15% envelope spread.)
+        extra = max(16, min(4096, int(min_window_s / max(per_call, 1e-5))))
+        k2 = k1 + extra
     slopes = []
     for _ in range(windows):
         t0 = time.perf_counter()
