@@ -97,12 +97,21 @@ class TestCounterNormal:
 
 
 class TestDrawNoise:
-    def test_default_is_stock_normal(self, monkeypatch):
+    def test_default_is_stock_normal_off_tpu(self, monkeypatch):
+        """auto = stock path on non-TPU backends (these tests run on CPU)."""
         monkeypatch.delenv("TDM_FAST_NOISE", raising=False)
         k = jax.random.PRNGKey(5)
         np.testing.assert_array_equal(
             np.asarray(draw_noise(k, (128,))),
             np.asarray(jax.random.normal(k, (128,))),
+        )
+
+    def test_explicit_off(self, monkeypatch):
+        monkeypatch.setenv("TDM_FAST_NOISE", "0")
+        k = jax.random.PRNGKey(6)
+        np.testing.assert_array_equal(
+            np.asarray(draw_noise(k, (64,))),
+            np.asarray(jax.random.normal(k, (64,))),
         )
 
     def test_fast_path_routes(self, monkeypatch):

@@ -106,20 +106,36 @@ def counter_bernoulli(key: jax.Array, p: float,
     return (h >= thresh).reshape(shape)
 
 
+def _fast_noise() -> bool:
+    """TDM_FAST_NOISE: '1' / '0' / 'auto' (default — on for TPU backends,
+    same policy as runtime.configure_fast_rng). Measured solo on v5e-1
+    (tools/solo_r4.sh xprof, bs=512 bf16, 20-step scan device time): the
+    text train step drops 439 -> 372 ms (-15.3%) — the stock bernoulli's
+    rng-bit-generator materialized 268 MB of mask bits to HBM per step —
+    and MNIST 58.4 -> 57.1 ms (its normal draw was already fused).
+    Read at trace time — a knob, not a traced value."""
+    mode = os.environ.get("TDM_FAST_NOISE", "auto")
+    if mode in ("0", "1"):
+        return mode == "1"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def draw_noise(key: jax.Array, shape: tuple[int, ...],
                dtype=jnp.float32) -> jax.Array:
-    """Train-loop noise draw: jax.random.normal, or the fused counter-based
-    fast path when TDM_FAST_NOISE=1 (default off until measured on TPU;
-    see counter_normal). Read at trace time — a knob, not a traced value."""
-    if os.environ.get("TDM_FAST_NOISE", "0") == "1":
+    """Train-loop noise draw: counter_normal on TPU (see _fast_noise),
+    stock jax.random.normal elsewhere."""
+    if _fast_noise():
         return counter_normal(key, shape, dtype)
     return jax.random.normal(key, shape, dtype)
 
 
 def draw_keep(key: jax.Array, keep_prob: float,
               shape: tuple[int, ...]) -> jax.Array:
-    """Dropout keep-mask draw: jax.random.bernoulli, or the counter-based
-    path under TDM_FAST_NOISE=1 (same knob as draw_noise)."""
-    if os.environ.get("TDM_FAST_NOISE", "0") == "1":
+    """Dropout keep-mask draw: counter_bernoulli on TPU (see _fast_noise),
+    stock jax.random.bernoulli elsewhere."""
+    if _fast_noise():
         return counter_bernoulli(key, keep_prob, shape)
     return jax.random.bernoulli(key, keep_prob, shape)
