@@ -31,7 +31,11 @@ _override: str | None = None
 #   (L, L) score buffers stay on-chip (L=64 ~1us, B8/L512 24us vs flash
 #   87us) and is used below a 96 MB score-footprint threshold; above it
 #   (B8/L1024: XLA 571us vs flash ~190us) the Pallas flash kernel runs,
-#   and it is the only O(L)-memory path for long sequences.
+#   and it is the only O(L)-memory path for long sequences. bf16 +
+#   training-mode re-measure (runs/kernel_bench_bf16.txt): eval keeps the
+#   96 MB crossover; with dropout+grad flash wins from ~8 MB of scores
+#   (135 vs 116us at B8/L256), so training routes at a 4 MB threshold
+#   (see pallas_kernels.attention).
 # - fused_resblock: xla WINS at every production shape — e.g. 64->64@14x14
 #   B128: xla 19.9us = 186 TFLOP/s = 94% of v5e bf16 peak, vs pallas
 #   123.8us. XLA's conv emitter is at the MXU/HBM roofline for these tiny
