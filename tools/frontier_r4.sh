@@ -111,6 +111,15 @@ phase_d() {
   # Combined frontier: the step-count axis (phase B's one lever that broke
   # depth-9 memorization: dpm++20 -> ppl 4.13 @ 70.8% overlap) swept finer,
   # then crossed with phase C's regularized checkpoints. Eval-only.
+  # Highest-expected-value first (phase C's winner x phase B's winner):
+  # dropout-0.2 checkpoint under few-step sampling.
+  for name in r4_rope9_do2 r4_rope9_do3 r4_rope9_wd1e2 r4_rope7 r4_rope8; do
+    [ -f "runs/${name}.pth" ] || continue
+    run_entry "${name}_dpmpp20" "runs/${name}.pth" "" \
+      "--clamp --n 32 --seeds 2 --sampler dpm++ --steps 20" || true
+    run_entry "${name}_dpmpp50" "runs/${name}.pth" "" \
+      "--clamp --n 32 --seeds 2 --sampler dpm++ --steps 50" || true
+  done
   for s in 10 15 30 50 100 300; do
     run_entry "r4_rope9_dpmpp${s}" runs/r3_rope9_512.pth "" \
       "--clamp --n 32 --seeds 2 --sampler dpm++ --steps $s" || true
@@ -122,15 +131,6 @@ phase_d() {
   run_entry r4_rope9_dpmpp20_t11 runs/r3_rope9_512.pth "" \
     "--clamp --n 32 --seeds 2 --sampler dpm++ --steps 20 --temperature 1.1" \
     || true
-  # Regularized / capacity-midpoint checkpoints from phase C, ancestral was
-  # scored there; here their few-step operating points.
-  for name in r4_rope9_do2 r4_rope9_do3 r4_rope9_wd1e2 r4_rope7 r4_rope8; do
-    [ -f "runs/${name}.pth" ] || continue
-    run_entry "${name}_dpmpp20" "runs/${name}.pth" "" \
-      "--clamp --n 32 --seeds 2 --sampler dpm++ --steps 20" || true
-    run_entry "${name}_dpmpp50" "runs/${name}.pth" "" \
-      "--clamp --n 32 --seeds 2 --sampler dpm++ --steps 50" || true
-  done
 }
 
 phase_e() {
