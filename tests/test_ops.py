@@ -126,6 +126,104 @@ class TestAttentionParity:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+class TestAttentionLayoutBLHD:
+    """The copy-free (B, L, H, Dh) layout must be semantics-identical to
+    the transposed (B, H, L, Dh) path — including dropout masks, which are
+    drawn in (B, H, Lq, Lk) in both layouts for the same key."""
+
+    def _qkv(self, b=2, l=8, h=4, dh=16):
+        key = jax.random.PRNGKey(0)
+        return tuple(
+            jax.random.normal(jax.random.fold_in(key, i), (b, l, h, dh))
+            for i in range(3)
+        )
+
+    @staticmethod
+    def _t(a):  # blhd <-> bhld
+        return a.transpose(0, 2, 1, 3)
+
+    def test_xla_eval_exact(self):
+        q, k, v = self._qkv()
+        ref = xla_ref.attention(self._t(q), self._t(k), self._t(v))
+        out = xla_ref.attention(q, k, v, layout="blhd")
+        np.testing.assert_allclose(
+            np.asarray(self._t(out)), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+
+    def test_xla_dropout_same_mask(self):
+        q, k, v = self._qkv()
+        dk = jax.random.PRNGKey(7)
+        ref = xla_ref.attention(
+            self._t(q), self._t(k), self._t(v),
+            dropout_rate=0.4, dropout_key=dk,
+        )
+        out = xla_ref.attention(
+            q, k, v, layout="blhd", dropout_rate=0.4, dropout_key=dk
+        )
+        np.testing.assert_allclose(
+            np.asarray(self._t(out)), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+
+    def test_xla_masked(self):
+        q, k, v = self._qkv()
+        mask = jnp.tril(jnp.ones((8, 8), bool))[None, None]
+        ref = xla_ref.attention(self._t(q), self._t(k), self._t(v), mask=mask)
+        out = xla_ref.attention(q, k, v, layout="blhd", mask=mask)
+        np.testing.assert_allclose(
+            np.asarray(self._t(out)), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+
+    def test_registry_causal_blhd(self):
+        """causal=True must build the tril mask from the L axis (axis 1 in
+        blhd), not the head axis."""
+        q, k, v = self._qkv(b=1, l=8, h=2, dh=16)
+        out = registry.attention(q, k, v, causal=True, layout="blhd")
+        ref = registry.attention(
+            self._t(q), self._t(k), self._t(v), causal=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(self._t(out)), np.asarray(ref), rtol=1e-6, atol=1e-6
+        )
+
+    def test_pallas_flash_route_blhd(self):
+        """Above the score-footprint threshold the blhd path transposes
+        into the flash kernel and back; results must match the bhld route."""
+        key = jax.random.PRNGKey(1)
+        b, l, h, dh = 1, 320, 2, 32
+        q, k, v = (
+            jax.random.normal(jax.random.fold_in(key, i), (b, l, h, dh))
+            for i in range(3)
+        )
+        out = pallas_kernels.attention(q, k, v, layout="blhd")
+        ref = pallas_kernels.attention(self._t(q), self._t(k), self._t(v))
+        np.testing.assert_allclose(
+            np.asarray(self._t(out)), np.asarray(ref), **_attn_tol()
+        )
+
+    def test_grads_match_layouts(self):
+        q, k, v = self._qkv()
+
+        def loss_blhd(q, k, v):
+            return xla_ref.attention(q, k, v, layout="blhd").sum()
+
+        def loss_bhld(q, k, v):
+            return xla_ref.attention(
+                self._t(q), self._t(k), self._t(v)
+            ).sum()
+
+        g_new = jax.grad(loss_blhd, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_bhld, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_new, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-6
+            )
+
+    def test_ring_rejects_blhd(self):
+        q, k, v = self._qkv(b=1, l=8, h=2, dh=16)
+        with pytest.raises(NotImplementedError):
+            registry.attention(q, k, v, seq_axis="seq", layout="blhd")
+
+
 class TestResblockParity:
     def _params(self, key, cin, cout):
         from tinydiffusionmodels_tpu.models.torch_init import conv_params

@@ -80,6 +80,14 @@ def _merge_heads(a: jax.Array) -> jax.Array:
     return a.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
 
 
+def _split_heads_blhd(a: jax.Array, n_heads: int) -> jax.Array:
+    # Copy-free head split: (B, L, D) -> (B, L, H, Dh) is a pure reshape;
+    # the head axis rides through ops.attention(layout='blhd') as an einsum
+    # batch dim instead of a materialized transpose.
+    b, l, d = a.shape
+    return a.reshape(b, l, n_heads, d // n_heads)
+
+
 def tiny_gpt_apply(params: dict, ids: jax.Array, cfg: TinyGPTConfig) -> jax.Array:
     """Full causal forward. ids: (B, L) int -> logits (B, L, V)."""
     b, l = ids.shape
@@ -90,12 +98,13 @@ def tiny_gpt_apply(params: dict, ids: jax.Array, cfg: TinyGPTConfig) -> jax.Arra
         qkv = linear_apply(blk["attn"]["qkv"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         attn = ops.attention(
-            _split_heads(q, cfg.n_heads),
-            _split_heads(k, cfg.n_heads),
-            _split_heads(v, cfg.n_heads),
+            _split_heads_blhd(q, cfg.n_heads),
+            _split_heads_blhd(k, cfg.n_heads),
+            _split_heads_blhd(v, cfg.n_heads),
             mask=causal,
+            layout="blhd",
         )
-        x = x + linear_apply(blk["attn"]["proj"], _merge_heads(attn))
+        x = x + linear_apply(blk["attn"]["proj"], attn.reshape(b, l, cfg.dim))
         h = layernorm_apply(blk["ln2"], x)
         x = x + linear_apply(
             blk["mlp"]["proj"], jax.nn.gelu(linear_apply(blk["mlp"]["fc"], h))

@@ -123,8 +123,8 @@ def init_tiny_transformer(key: jax.Array, cfg: TransformerConfig) -> dict:
     return params
 
 
-def _rope(x: jax.Array, base: float = 10000.0) -> jax.Array:
-    """Rotary position embedding on (B, H, L, Dh) with GLOBAL positions.
+def _rope(x: jax.Array, base: float = 10000.0, *, l_axis: int = 2) -> jax.Array:
+    """Rotary position embedding with GLOBAL positions.
 
     Standard RoPE (Su et al.): rotate feature pairs by position-dependent
     angles so q.k becomes a function of relative offset. Parameter-free, so
@@ -132,14 +132,19 @@ def _rope(x: jax.Array, base: float = 10000.0) -> jax.Array:
     before ops.attention so every backend (XLA, flash, ring) sees rotated
     q/k. Under GSPMD the array is global, so positions are correct even
     with sequence sharding.
+
+    ``l_axis`` selects the sequence axis: 2 for (B, H, L, Dh) tensors,
+    1 for the copy-free (B, L, H, Dh) layout.
     """
     dh = x.shape[-1]
     half = dh // 2
     freqs = base ** (-jnp.arange(half, dtype=jnp.float32) / half)
-    pos = jnp.arange(x.shape[2], dtype=jnp.float32)
+    pos = jnp.arange(x.shape[l_axis], dtype=jnp.float32)
     ang = pos[:, None] * freqs[None, :]                      # (L, half)
     cos = jnp.cos(ang).astype(x.dtype)
     sin = jnp.sin(ang).astype(x.dtype)
+    if l_axis == 1:
+        cos, sin = cos[:, None, :], sin[:, None, :]          # (L, 1, half)
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate(
         [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
@@ -154,18 +159,30 @@ def _mha(
     deterministic: bool,
     key: jax.Array | None,
 ) -> jax.Array:
-    """Self-attention matching torch nn.MultiheadAttention semantics."""
+    """Self-attention matching torch nn.MultiheadAttention semantics.
+
+    Single-chip attention runs in the copy-free (B, L, H, Dh) layout: the
+    head split/merge around the fused-QKV projection are pure reshapes, and
+    the head axis rides through the attention einsums as a batch dim. The
+    old (B, H, L, Dh) transposes materialized as HBM copies around the
+    kernels — 82 ms of the 372 ms bs=512 bf16 text train scan
+    (runs/xprof_text_train_fast.txt). Ring attention shards the L axis and
+    keeps the BHLD layout (transposes are noise next to ICI hops there).
+    """
     b, l, d = x.shape
     dh = d // cfg.n_heads
     qkv = linear_apply(p["in_proj"], x)  # (B, L, 3D)
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    blhd = cfg.seq_axis is None
 
-    def heads(a):  # (B, L, D) -> (B, H, L, Dh)
-        return a.reshape(b, l, cfg.n_heads, dh).transpose(0, 2, 1, 3)
+    def heads(a):  # (B, L, D) -> (B, L, H, Dh) or (B, H, L, Dh)
+        a = a.reshape(b, l, cfg.n_heads, dh)
+        return a if blhd else a.transpose(0, 2, 1, 3)
 
     qh, kh = heads(q), heads(k)
     if cfg.pos_kind == "rope":
-        qh, kh = _rope(qh), _rope(kh)
+        l_axis = 1 if blhd else 2
+        qh, kh = _rope(qh, l_axis=l_axis), _rope(kh, l_axis=l_axis)
     out = ops.attention(
         qh,
         kh,
@@ -173,8 +190,11 @@ def _mha(
         dropout_rate=0.0 if deterministic else cfg.dropout,
         dropout_key=None if deterministic else substream(key, "attn_weights"),
         seq_axis=cfg.seq_axis,
+        layout="blhd" if blhd else "bhld",
     )
-    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+    if not blhd:
+        out = out.transpose(0, 2, 1, 3)
+    out = out.reshape(b, l, d)
     return linear_apply(p["out_proj"], out)
 
 

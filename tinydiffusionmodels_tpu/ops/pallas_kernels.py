@@ -170,14 +170,14 @@ _attention_diffable.defvjp(_attention_diffable_fwd, _attention_diffable_bwd)
 
 
 def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
-              dropout_key=None):
-    """Fused attention over (B, H, L, Dh). Falls back to the XLA reference
-    for arbitrary-mask attention (causal decode goes through the registry's
-    tril mask)."""
+              dropout_key=None, layout: str = "bhld"):
+    """Fused attention over (B, H, L, Dh) (or (B, L, H, Dh) with
+    ``layout='blhd'``). Falls back to the XLA reference for arbitrary-mask
+    attention (causal decode goes through the registry's tril mask)."""
     if mask is not None:
         return xla_ref.attention(
             q, k, v, mask=mask, dropout_rate=dropout_rate,
-            dropout_key=dropout_key,
+            dropout_key=dropout_key, layout=layout,
         )
     # Measured routing (tools/kernel_bench.py, v5e, host-read sync): XLA's
     # fused attention wins while its (L, L) score buffers stay on-chip
@@ -191,21 +191,50 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
     # solo v5e-1 2026-08-18): EVAL forward keeps the same crossover —
     # bf16 activations still build f32 score buffers, XLA wins at 32/64 MB
     # (35/58us vs flash 84/126us) and loses at 128 MB (573 vs 245us).
-    # TRAINING (attention-weight dropout + grad) crosses far earlier: the
-    # autodiff backward re-materializes the (L, L) softmax+mask chain while
-    # flash recomputes it in VMEM — xla/flash grad us at 0.5/2/8/32 MB =
-    # 2.8/43, 39/53, 135/116, 441/313. Training threshold 4 MB (between
-    # the measured 2 MB and 8 MB points); dropout_rate > 0 is the
-    # training-mode signal this op sees (eval passes rate 0).
-    b, h, l, dh = q.shape
+    # TRAINING (attention-weight dropout + grad), measured in isolation,
+    # crosses earlier — xla/flash grad us at 0.5/2/8/32 MB =
+    # 2.8/43, 39/53, 135/116, 441/313 — which round 4 first encoded as a
+    # 4 MB training threshold. END-TO-END that threshold was wrong for
+    # batch-driven footprints: inside the real bs=512/L=64 bf16 train scan
+    # the flash custom call forces its operands/results to materialize in
+    # HBM (the 82 ms of layout copies in runs/xprof_text_train_fast.txt),
+    # while XLA's einsum attention fuses into the surrounding projections.
+    # Measured on v5e-1 (2026-08-19, /tmp/layout_bench.py A/B, chunk=50
+    # scan): flash route 42.1 it/s vs XLA route 53.9 it/s (+28%) at a
+    # 33.5 MB score footprint. The isolated flash win (~100-300us) only
+    # out-pays the materialization tax when the per-sequence score tile
+    # itself is large, i.e. long L — so training routes to flash on
+    # SEQUENCE LENGTH (L >= 1024, where isolated flash wins by >1.6ms and
+    # the copies are amortized), not on total footprint; eval keeps the
+    # 96 MB spill threshold.
+    if layout == "blhd":
+        b, l, h, dh = q.shape
+    else:
+        b, h, l, dh = q.shape
     score_bytes = b * h * l * l * 4
-    limit = 96 * 1024 * 1024
+    spill = score_bytes > 96 * 1024 * 1024
     if dropout_rate > 0.0:
-        limit = 4 * 1024 * 1024
-    if score_bytes <= limit:
+        # Long-L OR spilled-footprint -> flash; otherwise the fused XLA
+        # path wins end-to-end (see measurement above).
+        route_xla = l < 1024 and not spill
+    else:
+        route_xla = not spill
+    if route_xla:
         return xla_ref.attention(
-            q, k, v, dropout_rate=dropout_rate, dropout_key=dropout_key
+            q, k, v, dropout_rate=dropout_rate, dropout_key=dropout_key,
+            layout=layout,
         )
+    if layout == "blhd":
+        # The flash kernels grid over a flattened (B*H) leading dim; feed
+        # them BHLD and hand the result back in the caller's layout. The
+        # two transposes here cost what the old always-transpose path cost
+        # — blhd is a strict win whenever the XLA branch above is taken.
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            dropout_rate=dropout_rate, dropout_key=dropout_key,
+        )
+        return out.transpose(0, 2, 1, 3)
     return flash_attention(
         q, k, v, dropout_rate=dropout_rate, dropout_key=dropout_key
     )

@@ -31,11 +31,14 @@ _override: str | None = None
 #   (L, L) score buffers stay on-chip (L=64 ~1us, B8/L512 24us vs flash
 #   87us) and is used below a 96 MB score-footprint threshold; above it
 #   (B8/L1024: XLA 571us vs flash ~190us) the Pallas flash kernel runs,
-#   and it is the only O(L)-memory path for long sequences. bf16 +
-#   training-mode re-measure (runs/kernel_bench_bf16.txt): eval keeps the
-#   96 MB crossover; with dropout+grad flash wins from ~8 MB of scores
-#   (135 vs 116us at B8/L256), so training routes at a 4 MB threshold
-#   (see pallas_kernels.attention).
+#   and it is the only O(L)-memory path for long sequences. Training
+#   (dropout>0) routes on SEQUENCE LENGTH (flash at L>=1024 or spill):
+#   isolated-kernel timings said flash from ~8 MB of scores, but
+#   end-to-end the custom-call operand materialization costs more than
+#   the kernel win for batch-driven footprints — bs=512/L=64 bf16 train
+#   scan: 42.1 it/s (flash) vs 53.9 it/s (XLA), measured v5e-1 2026-08-19
+#   (see pallas_kernels.attention). Models pass layout='blhd' single-chip
+#   so the head split is a free reshape, not a copy.
 # - fused_resblock: xla WINS at every production shape — e.g. 64->64@14x14
 #   B128: xla 19.9us = 186 TFLOP/s = 94% of v5e bf16 peak, vs pallas
 #   123.8us. XLA's conv emitter is at the MXU/HBM roofline for these tiny
@@ -130,8 +133,13 @@ def register_sequence_mesh(mesh, axis: str = "seq") -> None:
 
 def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
               dropout_key=None, seq_axis: str | None = None,
-              causal: bool = False):
+              causal: bool = False, layout: str = "bhld"):
     if seq_axis is not None:
+        if layout != "bhld":
+            raise NotImplementedError(
+                "ring attention shards the L axis of (B, H, L, Dh) tensors; "
+                "pass layout='bhld' when seq_axis is set"
+            )
         mesh = _SEQ_MESHES.get(seq_axis)
         if mesh is None:
             raise ValueError(
@@ -160,8 +168,9 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
             block_impl=os.environ.get("TDM_RING_BLOCK", "einsum"),
         )
     if causal and mask is None:
-        l = q.shape[-2]
+        l = q.shape[1] if layout == "blhd" else q.shape[-2]
         mask = jnp.tril(jnp.ones((l, l), dtype=bool))
     return _dispatch("attention")(
-        q, k, v, mask=mask, dropout_rate=dropout_rate, dropout_key=dropout_key
+        q, k, v, mask=mask, dropout_rate=dropout_rate,
+        dropout_key=dropout_key, layout=layout,
     )

@@ -102,6 +102,7 @@ def attention(
     mask: jax.Array | None = None,
     dropout_rate: float = 0.0,
     dropout_key: jax.Array | None = None,
+    layout: str = "bhld",
 ) -> jax.Array:
     """Scaled dot-product attention over (B, H, L, Dh) tensors.
 
@@ -109,10 +110,23 @@ def attention(
     src/shakespeare.py:108-111); pass ``mask`` (broadcastable to (B,H,L,L),
     True = keep) for causal LM use. Attention-weight dropout matches torch's
     nn.MultiheadAttention training behavior.
+
+    ``layout='blhd'`` takes q/k/v as (B, L, H, Dh) — the natural layout
+    right after a fused-QKV projection — and returns (B, L, H, Dh). The
+    head axis is carried as an einsum batch dim instead of an explicit
+    transpose, so XLA folds the layout change into the matmuls: measured
+    on v5e-1 this removes the materialized (B,L,H,Dh)<->(B,H,L,Dh) copies
+    that cost 82 ms of the 372 ms bs=512 bf16 text train scan (device-op
+    table runs/xprof_text_train_fast.txt). Dropout masks are drawn in
+    (B, H, Lq, Lk) in BOTH layouts, so results are bit-identical for the
+    same key.
     """
+    if layout not in ("bhld", "blhd"):
+        raise ValueError(f"unknown attention layout: {layout!r}")
     dh = q.shape[-1]
+    score_eq = "bqhd,bkhd->bhqk" if layout == "blhd" else "bhqd,bhkd->bhqk"
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        score_eq, q, k, preferred_element_type=jnp.float32
     ) / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
@@ -123,4 +137,5 @@ def attention(
         keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     weights = weights.astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    out_eq = "bhqk,bkhd->bqhd" if layout == "blhd" else "bhqk,bhkd->bhqd"
+    return jnp.einsum(out_eq, weights, v)
