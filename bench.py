@@ -379,7 +379,11 @@ def bench_guided(n: int = 8, seq_len: int = 64) -> tuple[float, float | None]:
             seg=default_seg(n),
         )
     )
-    secs = _chain_timeit(gen, diff0)
+    # Latency-bound at n<=8 (~0.4 ms/decode-step): BENCH_r04's best
+    # envelope after retries was min/median 0.798 at 0.6 s windows — the
+    # slope jitter needs longer windows to average out (VERDICT r4 item 4).
+    secs = _chain_timeit(gen, diff0,
+                         min_window_s=2.5 if n <= 8 else 0.6)
     return [n * seq_len / s for s in secs], flops_per_token
 
 
@@ -403,7 +407,8 @@ def bench_guided_fused(n: int = 8, seq_len: int = 64) -> tuple[list, None]:
     fn = jax.jit(
         lambda d: fused_guided_decode_batched(params, cfg, d, 0, alpha=0.3)
     )
-    secs = _chain_timeit(fn, diff0)
+    secs = _chain_timeit(fn, diff0,
+                         min_window_s=2.5 if n <= 8 else 0.6)
     return [n * seq_len / s for s in secs], None
 
 
@@ -495,6 +500,16 @@ def _measure_with_retry(name: str, thunk, retry_log: dict,
                 round(min(r) / _median(r), 3) for r in attempts
             ],
         }
+        if not _spread_ok(rates):
+            # Last-resort policy for latency-bound metrics whose raw
+            # windows never tighten (VERDICT r4 item 4): each attempt's
+            # MEDIAN is robust to a contended window, so if the attempt
+            # medians agree within the tightness bar the value is
+            # reproducible and reported as median-of-attempt-medians.
+            med_rates = [_median(a) for a in attempts]
+            if len(med_rates) >= 2 and _spread_ok(med_rates):
+                rates = med_rates
+                retry_log[name]["policy"] = "median_of_attempt_medians"
     return rates, flops
 
 
@@ -565,22 +580,24 @@ def main() -> None:
         for name, v in env.items()
     }
     prov = _provenance(load_start)
-    # Self-validation (VERDICT r3 item 3): the run is valid iff it was solo
-    # AND every metric's final envelope is tight. Invalid numbers are
-    # emitted anyway — flagged, with reasons — so the driver always gets a
-    # line, but cross-round comparisons know to discount it.
-    loose = [n for n, v in env.items() if not _spread_ok(v)]
+    # Self-validation (VERDICT r3 item 3, refined per r4 item 4): each
+    # metric carries its own valid flag (envelope tight after retries);
+    # the RUN is valid iff it was solo and the HEADLINE metric is tight.
+    # A loose secondary metric is individually flagged instead of
+    # poisoning the whole line (BENCH_r04 was valid:false on the strength
+    # of one loose guided_tokens_s envelope).
+    metric_valid = {n: _spread_ok(v) for n, v in env.items()}
+    loose = sorted(n for n, ok in metric_valid.items() if not ok)
     reasons = []
     if not prov["solo_run"]:
         reasons.append("host not solo (load average >= 50% of cores)")
-    if loose:
-        reasons.append(
-            "envelope min >15% below median after retries: "
-            + ",".join(sorted(loose))
-        )
+    if not metric_valid.get("shakespeare_train_it_s", True):
+        reasons.append("headline envelope min >15% below median "
+                       "after retries")
     prov["retries"] = retry_log
     _emit(args, r, mfu, envelope, backend, device_kind, peak, prov,
-          valid=not reasons, invalid_reasons=reasons)
+          valid=not reasons, invalid_reasons=reasons,
+          metric_valid=metric_valid, loose_metrics=loose)
 
 
 def _run_suite(args, record, retry_log) -> None:
@@ -624,7 +641,8 @@ def _run_suite(args, record, retry_log) -> None:
 
 
 def _emit(args, r, mfu, envelope, backend, device_kind, peak,
-          provenance, valid=True, invalid_reasons=()) -> None:
+          provenance, valid=True, invalid_reasons=(),
+          metric_valid=None, loose_metrics=()) -> None:
     headline = r["shakespeare_train_it_s"]
     print(
         json.dumps(
@@ -636,6 +654,8 @@ def _emit(args, r, mfu, envelope, backend, device_kind, peak,
                 "valid": bool(valid),
                 **({"invalid_reasons": list(invalid_reasons)}
                    if invalid_reasons else {}),
+                **({"loose_metrics": list(loose_metrics)}
+                   if loose_metrics else {}),
                 "extra": {
                     "backend": backend,
                     "device_kind": device_kind,
@@ -694,6 +714,11 @@ def _emit(args, r, mfu, envelope, backend, device_kind, peak,
                     # Per-metric [min, median, max] across all timing
                     # windows (x --repeat), it/s-space.
                     "envelope": envelope,
+                    # Per-metric envelope-tightness verdicts (VERDICT r4
+                    # item 4): False = that one number is contended even
+                    # after retries; the rest of the line stands.
+                    **({"metric_valid": metric_valid}
+                       if metric_valid is not None else {}),
                     "provenance": provenance,
                 },
             }
