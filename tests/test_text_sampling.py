@@ -141,6 +141,32 @@ class TestSampleText:
         assert not np.allclose(draw(0.0), draw(1.0))
         assert np.isfinite(draw(0.0)).all()
 
+    def test_temperature_rejected_with_deterministic_solvers(self):
+        """temperature != 1 with ddim/dpm++ raises instead of silently
+        no-opping (VERDICT r4 item 8: ladder_r4 line 35 was bit-identical
+        to its temperature=1 twin under dpm++)."""
+        import pytest as _pytest
+
+        sched = make_schedule(10)
+        cfg = TransformerConfig(dim=16, n_heads=4, depth=1, ffn_dim=32,
+                                timesteps=10)
+        diff = init_tiny_transformer(jax.random.PRNGKey(0), cfg)
+
+        for method in ("dpm++", "ddim"):
+            with _pytest.raises(ValueError, match="no effect"):
+                sample_diffusion_embeddings(
+                    diff, cfg, sched, jax.random.PRNGKey(1),
+                    n=1, seq_len=4, embed_dim=16,
+                    method=method, num_steps=4, temperature=1.1,
+                )
+            # temperature=1.0 (the default) stays accepted.
+            z = sample_diffusion_embeddings(
+                diff, cfg, sched, jax.random.PRNGKey(1),
+                n=1, seq_len=4, embed_dim=16,
+                method=method, num_steps=4, temperature=1.0,
+            )
+            assert np.isfinite(np.asarray(z)).all()
+
     def test_position_logits_paths_agree_on_shape(self):
         rounding = init_learned_rounding(jax.random.PRNGKey(0), 8, 12)
         emb = jax.random.normal(jax.random.PRNGKey(1), (12, 8))

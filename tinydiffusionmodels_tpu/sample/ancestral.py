@@ -52,8 +52,17 @@ def sample_loop(
     path (framework extension; 1.0 = reference semantics). The initial
     x_T ~ N(0, I) draw is NOT scaled — the trained prior at t=T is unit
     variance regardless of how much noise the reverse path re-injects.
-    DDIM's knob is ``eta``; dpm++ is deterministic.
+    DDIM's knob is ``eta``; dpm++ is deterministic. Passing
+    temperature != 1 with those solvers is rejected rather than silently
+    ignored (a round-4 ladder cell was bit-identical to its temperature=1
+    twin because of exactly this no-op).
     """
+    if temperature != 1.0 and method != "ancestral":
+        raise ValueError(
+            f"temperature={temperature} has no effect with method="
+            f"'{method}': dpm++ is deterministic and ddim's noise knob is "
+            "eta. Use method='ancestral' (or eta for ddim)."
+        )
     init_key, loop_key = jax.random.split(key)
     x0 = jax.random.normal(init_key, shape, dtype=dtype)
     batch = shape[0]

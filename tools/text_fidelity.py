@@ -112,7 +112,9 @@ def main() -> None:
     ap.add_argument("--sampler", type=str, default="ancestral")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--temperature", type=float, default=1.0,
-                    help="ancestral sampling noise scale (pure mode)")
+                    help="ancestral sampling noise scale (pure mode); "
+                         "errors with deterministic solvers (ddim/dpm++), "
+                         "where it would silently no-op")
     ap.add_argument("--lm_epochs", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--seeds", type=int, default=1,
