@@ -166,7 +166,8 @@ def _mha(
     the head axis rides through the attention einsums as a batch dim. The
     old (B, H, L, Dh) transposes materialized as HBM copies around the
     kernels — 82 ms of the 372 ms bs=512 bf16 text train scan
-    (runs/xprof_text_train_fast.txt). Ring attention shards the L axis and
+    (docs/docs/assets/r5/xprof_text_train_fast.txt). Ring attention
+    shards the L axis and
     keeps the BHLD layout (transposes are noise next to ICI hops there).
     """
     b, l, d = x.shape

@@ -187,7 +187,8 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
     # between the measured B4/L1024=64MB (XLA fast) and B8/L1024=128MB
     # (XLA spilled) points. Flash also keeps O(L) memory for any length.
     #
-    # bf16 re-measure (VERDICT r3 item 8; runs/kernel_bench_bf16.txt,
+    # bf16 re-measure (VERDICT r3 item 8;
+    # docs/docs/assets/r5/kernel_bench_bf16.txt,
     # solo v5e-1 2026-08-18): EVAL forward keeps the same crossover —
     # bf16 activations still build f32 score buffers, XLA wins at 32/64 MB
     # (35/58us vs flash 84/126us) and loses at 128 MB (573 vs 245us).
@@ -197,9 +198,11 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
     # 4 MB training threshold. END-TO-END that threshold was wrong for
     # batch-driven footprints: inside the real bs=512/L=64 bf16 train scan
     # the flash custom call forces its operands/results to materialize in
-    # HBM (the 82 ms of layout copies in runs/xprof_text_train_fast.txt),
-    # while XLA's einsum attention fuses into the surrounding projections.
-    # Measured on v5e-1 (2026-08-19, /tmp/layout_bench.py A/B, chunk=50
+    # HBM (the 82 ms of layout copies in the device-op table
+    # docs/docs/assets/r5/xprof_text_train_fast.txt), while XLA's einsum
+    # attention fuses into the surrounding projections. Measured on v5e-1
+    # (2026-08-19, tools/layout_bench.py A/B, raw lines at
+    # docs/docs/assets/r5/layout_ab_bf16.txt, chunk=50
     # scan): flash route 42.1 it/s vs XLA route 53.9 it/s (+28%) at a
     # 33.5 MB score footprint. The isolated flash win (~100-300us) only
     # out-pays the materialization tax when the per-sequence score tile

@@ -117,7 +117,8 @@ def attention(
     transpose, so XLA folds the layout change into the matmuls: measured
     on v5e-1 this removes the materialized (B,L,H,Dh)<->(B,H,L,Dh) copies
     that cost 82 ms of the 372 ms bs=512 bf16 text train scan (device-op
-    table runs/xprof_text_train_fast.txt). Dropout masks are drawn in
+    table docs/docs/assets/r5/xprof_text_train_fast.txt). Dropout masks
+    are drawn in
     (B, H, Lq, Lk) in BOTH layouts, so results are bit-identical for the
     same key.
     """
