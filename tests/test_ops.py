@@ -102,19 +102,62 @@ class TestAttentionParity:
             np.asarray(out), np.asarray(ref), **_attn_tol()
         )
 
-    def test_long_sequence_routes_to_flash(self):
-        """The registry-facing pallas attention auto-routes L>128 through
-        the tiled flash kernel and still matches XLA."""
+    def test_spilled_footprint_routes_to_flash(self, monkeypatch):
+        """Above the eval spill threshold the pallas attention routes to
+        the tiled flash kernel (asserted by spying on it, not assumed —
+        ADVICE r4) and still matches XLA."""
+        calls = []
+        real_flash = pallas_kernels.flash_attention
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real_flash(*a, **kw)
+
+        monkeypatch.setattr(pallas_kernels, "flash_attention", spy)
+        # (1,2,320,32) scores are ~0.8 MB; force the spill route on it.
+        monkeypatch.setattr(pallas_kernels, "EVAL_SPILL_BYTES", 512 * 1024)
         key = jax.random.PRNGKey(0)
         shape = (1, 2, 320, 32)
         q = jax.random.normal(key, shape)
         k = jax.random.normal(jax.random.fold_in(key, 1), shape)
         v = jax.random.normal(jax.random.fold_in(key, 2), shape)
         out = pallas_kernels.attention(q, k, v)
+        assert calls, "flash_attention was never invoked"
         ref = xla_ref.attention(q, k, v)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), **_attn_tol()
         )
+
+    def test_training_long_l_routes_to_flash(self, monkeypatch):
+        """With dropout active, L >= TRAIN_FLASH_MIN_L takes the flash
+        branch; below it the XLA branch is taken (the end-to-end routing
+        decision, pinned by spying on flash_attention)."""
+        calls = []
+        real_flash = pallas_kernels.flash_attention
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real_flash(*a, **kw)
+
+        monkeypatch.setattr(pallas_kernels, "flash_attention", spy)
+        monkeypatch.setattr(pallas_kernels, "TRAIN_FLASH_MIN_L", 320)
+        key = jax.random.PRNGKey(3)
+        shape = (1, 2, 320, 32)
+        q = jax.random.normal(key, shape)
+        k = jax.random.normal(jax.random.fold_in(key, 1), shape)
+        v = jax.random.normal(jax.random.fold_in(key, 2), shape)
+        out = pallas_kernels.attention(
+            q, k, v, dropout_rate=0.5, dropout_key=jax.random.PRNGKey(7)
+        )
+        assert calls, "flash_attention was never invoked"
+        assert np.isfinite(np.asarray(out)).all()
+        # Below the threshold the XLA branch is taken instead.
+        calls.clear()
+        monkeypatch.setattr(pallas_kernels, "TRAIN_FLASH_MIN_L", 1024)
+        pallas_kernels.attention(
+            q, k, v, dropout_rate=0.5, dropout_key=jax.random.PRNGKey(7)
+        )
+        assert not calls
 
     def test_masked_falls_back(self):
         """Masked attention routes to the XLA reference (exactness)."""
@@ -185,9 +228,21 @@ class TestAttentionLayoutBLHD:
             np.asarray(self._t(out)), np.asarray(ref), rtol=1e-6, atol=1e-6
         )
 
-    def test_pallas_flash_route_blhd(self):
+    def test_pallas_flash_route_blhd(self, monkeypatch):
         """Above the score-footprint threshold the blhd path transposes
-        into the flash kernel and back; results must match the bhld route."""
+        into the flash kernel and back; results must match the bhld route.
+        The threshold is patched down so both calls actually take the
+        flash branch (spied — ADVICE r4: the old shape routed to XLA on
+        both sides and the transpose branch had zero coverage)."""
+        calls = []
+        real_flash = pallas_kernels.flash_attention
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return real_flash(*a, **kw)
+
+        monkeypatch.setattr(pallas_kernels, "flash_attention", spy)
+        monkeypatch.setattr(pallas_kernels, "EVAL_SPILL_BYTES", 512 * 1024)
         key = jax.random.PRNGKey(1)
         b, l, h, dh = 1, 320, 2, 32
         q, k, v = (
@@ -196,6 +251,7 @@ class TestAttentionLayoutBLHD:
         )
         out = pallas_kernels.attention(q, k, v, layout="blhd")
         ref = pallas_kernels.attention(self._t(q), self._t(k), self._t(v))
+        assert len(calls) == 2, "both routes must invoke flash_attention"
         np.testing.assert_allclose(
             np.asarray(self._t(out)), np.asarray(ref), **_attn_tol()
         )

@@ -169,6 +169,13 @@ def _attention_diffable_bwd(residuals, g):
 _attention_diffable.defvjp(_attention_diffable_fwd, _attention_diffable_bwd)
 
 
+# Measured routing thresholds (see the block comment inside attention()).
+# Module-level so tests can monkeypatch them to force the flash branch on
+# tiny shapes (ADVICE r4: the route tests must actually take the route).
+EVAL_SPILL_BYTES = 96 * 1024 * 1024
+TRAIN_FLASH_MIN_L = 1024
+
+
 def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
               dropout_key=None, layout: str = "bhld"):
     """Fused attention over (B, H, L, Dh) (or (B, L, H, Dh) with
@@ -215,11 +222,11 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
     else:
         b, h, l, dh = q.shape
     score_bytes = b * h * l * l * 4
-    spill = score_bytes > 96 * 1024 * 1024
+    spill = score_bytes > EVAL_SPILL_BYTES
     if dropout_rate > 0.0:
         # Long-L OR spilled-footprint -> flash; otherwise the fused XLA
         # path wins end-to-end (see measurement above).
-        route_xla = l < 1024 and not spill
+        route_xla = l < TRAIN_FLASH_MIN_L and not spill
     else:
         route_xla = not spill
     if route_xla:
