@@ -158,3 +158,53 @@ class TestCounterBernoulli:
             np.asarray(draw_keep(k, 0.9, (256,))),
             np.asarray(jax.random.bernoulli(k, 0.9, (256,))),
         )
+
+
+class TestAttentionWeightDropoutFastPath:
+    """VERDICT r4 item 7: xla_ref.attention's (B, H, Lq, Lk) weight mask —
+    the one RNG draw whose footprint scales with L^2 — goes through
+    draw_keep, so TDM_FAST_NOISE covers it too."""
+
+    def _qkv(self, b=1, h=2, l=16, dh=8):
+        key = jax.random.PRNGKey(0)
+        return tuple(
+            jax.random.normal(jax.random.fold_in(key, i), (b, l, h, dh))
+            for i in range(3)
+        )
+
+    def test_counter_mask_used_when_fast(self, monkeypatch):
+        from tinydiffusionmodels_tpu.ops import xla_ref
+
+        q, k, v = self._qkv()
+        t = lambda a: a.transpose(0, 2, 1, 3)
+        dk = jax.random.PRNGKey(9)
+        monkeypatch.setenv("TDM_FAST_NOISE", "1")
+        fast = xla_ref.attention(t(q), t(k), t(v),
+                                 dropout_rate=0.5, dropout_key=dk)
+        monkeypatch.setenv("TDM_FAST_NOISE", "0")
+        stock = xla_ref.attention(t(q), t(k), t(v),
+                                  dropout_rate=0.5, dropout_key=dk)
+        # Different mask streams -> different results; both finite.
+        assert not np.allclose(np.asarray(fast), np.asarray(stock))
+        assert np.isfinite(np.asarray(fast)).all()
+
+    def test_layout_bit_identity_under_fast_noise(self, monkeypatch):
+        """The BLHD/BHLD bit-identity contract must hold on the counter
+        path exactly as it does on the stock path (same key, same
+        (B,H,Lq,Lk) draw shape)."""
+        from tinydiffusionmodels_tpu.ops import xla_ref
+
+        q, k, v = self._qkv()
+        t = lambda a: a.transpose(0, 2, 1, 3)
+        dk = jax.random.PRNGKey(11)
+        for mode in ("0", "1"):
+            monkeypatch.setenv("TDM_FAST_NOISE", mode)
+            out_blhd = xla_ref.attention(
+                q, k, v, dropout_rate=0.3, dropout_key=dk, layout="blhd"
+            )
+            out_bhld = xla_ref.attention(
+                t(q), t(k), t(v), dropout_rate=0.3, dropout_key=dk
+            )
+            np.testing.assert_array_equal(
+                np.asarray(t(out_blhd)), np.asarray(out_bhld)
+            )

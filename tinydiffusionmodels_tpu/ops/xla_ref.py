@@ -12,6 +12,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tinydiffusionmodels_tpu.core.rng import draw_keep
+
 
 def conv2d(
     x: jax.Array,
@@ -135,7 +137,13 @@ def attention(
     if dropout_rate > 0.0:
         if dropout_key is None:
             raise ValueError("dropout_rate > 0 requires dropout_key")
-        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, weights.shape)
+        # draw_keep: counter-based mask on TPU (TDM_FAST_NOISE) — this is
+        # the one RNG draw whose footprint scales with L^2, and the stock
+        # bernoulli materializes its rng bits to HBM (same tax measured at
+        # 268 MB/step for feature dropout, core/rng._fast_noise). Drawn in
+        # (B, H, Lq, Lk) in BOTH layouts -> bit-identical across layouts
+        # for the same key under either backend.
+        keep = draw_keep(dropout_key, 1.0 - dropout_rate, weights.shape)
         weights = jnp.where(keep, weights / (1.0 - dropout_rate), 0.0)
     weights = weights.astype(v.dtype)
     out_eq = "bhqk,bkhd->bqhd" if layout == "blhd" else "bhqk,bhkd->bhqd"
