@@ -158,3 +158,59 @@ class TestVerifiedExactParity:
         np.testing.assert_array_equal(
             np.asarray(fn(diff)), np.asarray(_scan_ref(params, diff, alpha=0.3))
         )
+
+
+class TestVerifiedRouting:
+    """VERDICT r4 item 3: the verified entry point routes to the plain f32
+    scan at large batch (where BENCH_r04 measured it dominating every
+    draft+verify pipeline ~4x) instead of always paying the speculative
+    machinery."""
+
+    def test_plain_draft_is_the_scan(self, params):
+        from tinydiffusionmodels_tpu.sample.guided import default_seg
+
+        diff = jax.random.normal(jax.random.PRNGKey(7),
+                                 (B, L, CFG.vocab_size))
+        ref = guided_generate_scan(
+            lambda c, t, a=None: tiny_gpt_decode_step(params, c, t, CFG, a),
+            tiny_gpt_init_cache(CFG, B), diff, 1, alpha=0.3,
+            seg=default_seg(B),
+        )
+        out = guided_generate_verified(params, CFG, diff, 1, alpha=0.3,
+                                       draft="plain")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_auto_routes_to_plain_when_vmem_overflows(self, params,
+                                                      monkeypatch):
+        import tinydiffusionmodels_tpu.ops.decode_kernel as dk
+
+        monkeypatch.setattr(dk, "fits_vmem", lambda cfg, b, v: False)
+
+        def boom(*a, **k):  # the fused draft must not be touched
+            raise AssertionError("fused draft called on the plain route")
+
+        monkeypatch.setattr(dk, "fused_guided_decode", boom)
+        diff = jax.random.normal(jax.random.PRNGKey(8),
+                                 (B, L, CFG.vocab_size))
+        out = guided_generate_verified(params, CFG, diff, 1, alpha=0.3)
+        np.testing.assert_array_equal(
+            np.asarray(out),
+            np.asarray(guided_generate_verified(params, CFG, diff, 1,
+                                                alpha=0.3, draft="plain")),
+        )
+
+    def test_auto_routes_to_fused_when_it_fits(self, params, monkeypatch):
+        import tinydiffusionmodels_tpu.ops.decode_kernel as dk
+
+        called = {}
+        real = dk.fused_guided_decode
+
+        def spy(*a, **k):
+            called["yes"] = True
+            return real(*a, **k)
+
+        monkeypatch.setattr(dk, "fused_guided_decode", spy)
+        diff = jax.random.normal(jax.random.PRNGKey(8),
+                                 (B, L, CFG.vocab_size))
+        guided_generate_verified(params, CFG, diff, 1, alpha=0.3)
+        assert called.get("yes")

@@ -200,42 +200,56 @@ def guided_generate_verified(
     normalize: bool = False,
     draft: str = "auto",
 ) -> jax.Array:
-    """Exact greedy guided decode at draft speed (TinyGPT base LM).
+    """Exact greedy guided decode — always the fastest measured exact path.
 
-    Speculative-style pipeline with a bf16 draft and an f32 verifier:
+    ``draft=`` selects the implementation:
 
-    1. DRAFT (``draft=``): ``"fused"`` — the persistent bf16 Pallas kernel
-       decodes all L tokens in one call (weights stay VMEM-resident across
-       positions — no per-token HBM weight streaming; best while one batch
-       chunk fits VMEM). ``"scan_bf16"`` — a KV-cached scan with bf16
-       weights AND bf16 cache (halves the dominant cache-re-read HBM term;
-       best at large batch). ``"auto"`` routes on fits_vmem.
-    2. VERIFY: ONE teacher-forced f32 forward over the whole draft
-       (tiny_gpt_apply — parallel over positions, compute-bound, cheap)
-       recomputes every position's mixed-greedy token exactly as the scan
-       path (and the reference loop, src/shakespeare.py:445-470) would.
-    3. COMMIT & RE-DRAFT: tokens up to and including the first mismatch are
-       exact (a first mismatch at position p was computed from an
-       already-verified prefix, so the *verifier's* token at p is the exact
-       one); re-draft from p+1 with the exact prefix teacher-forced.
+    - ``"fused"`` — the persistent bf16 Pallas kernel drafts all L tokens
+      in one call (weights VMEM-resident across positions), then the
+      JACOBI VERIFIER below refines to the f32 full-context greedy
+      fixpoint. Latency king while one batch chunk fits VMEM (BENCH_r04
+      bs=8: fused 357k tok/s vs plain scan 243k).
+    - ``"scan_bf16"`` — a KV-cached scan draft with bf16 weights AND bf16
+      cache (halves the dominant cache-re-read HBM term), same Jacobi
+      refinement.
+    - ``"plain"`` — the f32 KV-cached scan (guided_generate_scan): exact
+      greedy BY CONSTRUCTION, so no verification pass at all. Measured
+      dominant at large batch (BENCH_r04 bs=256: 2.02M tok/s vs 610k
+      fused / 522k for the round-4 re-draft pipeline — VERDICT r4 item 3).
+    - ``"auto"`` — fused while ``fits_vmem`` says one chunk holds the
+      whole state (the small-batch latency regime), plain otherwise.
 
-    Each round commits >= 1 token, so the loop terminates in <= L rounds;
-    in practice the bf16 draft almost always survives verification whole
-    (1 round).
+    JACOBI VERIFICATION (fused / scan_bf16): the bf16 draft is refined by
+    fixpoint iteration on the f32 teacher-forced forward —
+    ``tokens <- verify(tokens)`` until unchanged, where ``verify`` is ONE
+    parallel full-context forward (tiny_gpt_apply) recomputing every
+    position's mixed-greedy token given the current tokens as context.
+    If the current tokens agree with the fixpoint on a length-k prefix,
+    positions 0..k of ``verify``'s output are computed from fixpoint
+    contexts and therefore equal the fixpoint — the agreed prefix grows by
+    >=1 per round, so the loop terminates in <= L rounds. Unlike round 4's
+    commit-and-re-draft loop (one sequential draft SCAN per round — 522k
+    tok/s at bs=256 from 4-5 rounds), refinement rounds here cost only the
+    parallel verify forward; the sequential draft runs exactly once.
 
-    Parity contract: the output is the greedy FIXPOINT of the f32
-    full-context forward — token p = argmax(mix(logits(prefix_p))) for
-    every p. The reference loop computes exactly this graph (full-prefix
-    forward per token, no KV cache — src/shakespeare.py:445-470). On CPU
-    it is additionally bit-identical to guided_generate_scan; on TPU the
-    scan's KV-cached incremental graph compiles to different bf16-pass
-    accumulation orders, so the two f32 paths can flip an occasional
-    near-tie argmax relative to each other (measured >95% token agreement
-    on random weights; trained peaked logits agree more).
+    Parity contract: with ``fused``/``scan_bf16`` the output is the greedy
+    FIXPOINT of the f32 full-context forward — token p =
+    argmax(mix(logits(prefix_p))) for every p, the same graph the
+    reference loop runs per token (full-prefix forward, no KV cache —
+    src/shakespeare.py:445-470). ``plain`` is exact greedy of the f32
+    *incremental* (KV-cached) graph — the standard decode semantics,
+    bit-identical to the fixpoint on CPU; on TPU the two graph shapes
+    compile to different accumulation orders, so near-tie argmaxes can
+    occasionally flip between them (>95% token agreement on random
+    weights; trained peaked logits agree more).
     """
-    from tinydiffusionmodels_tpu.models.ar_lm import tiny_gpt_apply
+    from tinydiffusionmodels_tpu.models.ar_lm import (
+        tiny_gpt_apply,
+        tiny_gpt_decode_step,
+        tiny_gpt_init_cache,
+    )
     from tinydiffusionmodels_tpu.ops.decode_kernel import (
-        _fused_guided_decode_batched_impl,
+        fused_guided_decode,
         fits_vmem,
     )
 
@@ -244,14 +258,47 @@ def guided_generate_verified(
     if draft == "auto":
         # The persistent kernel is the latency king while the whole state
         # fits VMEM in one chunk; once it must sweep batch chunks its
-        # per-position latency multiplies by n_chunks, while the bf16
-        # scan's per-position cost grows only with HBM cache traffic — so
-        # route single-chunk batches to the kernel and everything larger
-        # to the scan draft.
-        draft = "fused" if fits_vmem(cfg, b, vocab) else "scan_bf16"
+        # per-position latency multiplies by n_chunks, while the plain f32
+        # scan's cost grows only with HBM cache traffic — and the scan
+        # needs no verification rounds at all (BENCH_r04: it beat every
+        # draft+verify pipeline at bs=256 by ~4x).
+        draft = "fused" if fits_vmem(cfg, b, vocab) else "plain"
+
+    if draft == "plain":
+        return guided_generate_scan(
+            lambda cache, tok, attn_len=None: tiny_gpt_decode_step(
+                params, cache, tok, cfg, attn_len
+            ),
+            tiny_gpt_init_cache(cfg, b),
+            diff_logits_all,
+            bos_token,
+            alpha=alpha,
+            temperature=temperature,
+            normalize=normalize,
+            seg=default_seg(b),
+        )
+
+    if draft == "scan_bf16":
+        params16 = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+        tokens0 = _scan_bf16_draft(
+            params16, cfg, diff_logits_all.astype(jnp.bfloat16), bos_token,
+            jnp.zeros((b,), jnp.int32), jnp.zeros((b, seq_len), jnp.int32),
+            alpha=alpha, temperature=temperature, normalize=normalize,
+        )
+    elif draft == "fused":
+        tokens0 = fused_guided_decode(
+            params, cfg, diff_logits_all, bos_token,
+            alpha=alpha, temperature=temperature, normalize=normalize,
+        )
+    else:
+        raise ValueError(f"unknown draft mode {draft!r}")
 
     def verify(tokens):
-        """Exact per-position greedy tokens given the draft as prefix."""
+        """Exact per-position greedy tokens given ``tokens`` as context."""
         ids_in = jnp.concatenate(
             [jnp.full((b, 1), bos_token, jnp.int32), tokens[:, :-1]], axis=1
         )
@@ -260,63 +307,13 @@ def guided_generate_verified(
                            normalize=normalize)
         return jnp.argmax(mixed, axis=-1).astype(jnp.int32)
 
-    if draft == "scan_bf16":
-        params16 = jax.tree.map(
-            lambda a: a.astype(jnp.bfloat16)
-            if jnp.issubdtype(a.dtype, jnp.floating) else a,
-            params,
-        )
-        diff16 = diff_logits_all.astype(jnp.bfloat16)
-
-        def draft_fn(start, committed):
-            return _scan_bf16_draft(
-                params16, cfg, diff16, bos_token, start, committed,
-                alpha=alpha, temperature=temperature, normalize=normalize,
-            )
-    elif draft == "fused":
-        def draft_fn(start, committed):
-            return _fused_guided_decode_batched_impl(
-                params, cfg, diff_logits_all, bos_token, start, committed,
-                alpha=alpha, temperature=temperature, normalize=normalize,
-            )
-    else:
-        raise ValueError(f"unknown draft mode {draft!r}")
-
-    # Commit granularity: rows are independent (verification is
-    # teacher-forced per row), so each row's exact prefix can advance past
-    # its OWN first mismatch every round. A global-min commit point instead
-    # makes the round count the number of DISTINCT mismatch positions across
-    # the whole batch (~40 rounds at bs=256 random weights, measured 413 ms);
-    # per-row commit bounds rounds by the per-row mismatch chain length
-    # (max 4-5 at bs=256). The fused kernel takes a scalar start (its
-    # teacher-forcing predicate lives in SMEM), so that path keeps the
-    # scalar/global commit — it only routes at small batch, where drafts
-    # are almost always clean in one round.
-    per_row = draft == "scan_bf16"
-
     def cond(carry):
-        start, _ = carry
-        return jnp.any(start < seq_len)
+        tokens, exact = carry
+        return jnp.any(tokens != exact)
 
     def body(carry):
-        start, committed = carry
-        tokens = draft_fn(start, committed)
-        exact = verify(tokens)
-        ok = tokens == exact
-        # First mismatch per row (seq_len if clean); the verifier's token AT
-        # the first mismatch is already exact (computed from an exact
-        # prefix), so commit through it (+1).
-        first_bad = jnp.where(ok.all(axis=1), seq_len, jnp.argmin(ok, axis=1))
-        if not per_row:
-            first_bad = jnp.min(first_bad)
-        new_start = jnp.minimum(first_bad + 1, seq_len)
-        mask = jnp.arange(seq_len)[None, :] < (
-            new_start[:, None] if per_row else new_start
-        )
-        committed = jnp.where(mask, exact, tokens)
-        return new_start, committed
+        _, exact = carry
+        return exact, verify(exact)
 
-    start0 = jnp.zeros((b,) if per_row else (), jnp.int32)
-    committed0 = jnp.zeros((b, seq_len), jnp.int32)
-    _, tokens = jax.lax.while_loop(cond, body, (start0, committed0))
+    tokens, _ = jax.lax.while_loop(cond, body, (tokens0, verify(tokens0)))
     return tokens
