@@ -70,16 +70,6 @@ def init_tiny_gpt(key: jax.Array, cfg: TinyGPTConfig) -> dict:
     }
 
 
-def _split_heads(a: jax.Array, n_heads: int) -> jax.Array:
-    b, l, d = a.shape
-    return a.reshape(b, l, n_heads, d // n_heads).transpose(0, 2, 1, 3)
-
-
-def _merge_heads(a: jax.Array) -> jax.Array:
-    b, h, l, dh = a.shape
-    return a.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
-
-
 def _split_heads_blhd(a: jax.Array, n_heads: int) -> jax.Array:
     # Copy-free head split: (B, L, D) -> (B, L, H, Dh) is a pure reshape;
     # the head axis rides through ops.attention(layout='blhd') as an einsum
@@ -116,7 +106,13 @@ def tiny_gpt_apply(params: dict, ids: jax.Array, cfg: TinyGPTConfig) -> jax.Arra
 def tiny_gpt_init_cache(
     cfg: TinyGPTConfig, batch: int, dtype=jnp.float32
 ) -> dict:
-    """KV cache pytree: per-layer (B, H, max_len, Dh) k/v plus a position.
+    """KV cache pytree: per-layer (B, max_len, H, Dh) k/v plus a position.
+
+    BLHD (time-major) layout: the decode step's new k/v arrive as
+    (B, 1, H, Dh) straight off the fused-QKV reshape, so the per-step
+    cache write and the attention reads need NO head transposes — the
+    same copy-free layout the full forwards use (ops.attention
+    layout='blhd'; see models/transformer.py).
 
     ``dtype=jnp.bfloat16`` halves the dominant HBM term of large-batch
     decoding (the full cache is re-read every position by attention); used
@@ -124,7 +120,7 @@ def tiny_gpt_init_cache(
     verification pass restores exact greedy semantics.
     """
     dh = cfg.dim // cfg.n_heads
-    shape = (cfg.depth, batch, cfg.n_heads, cfg.max_len, dh)
+    shape = (cfg.depth, batch, cfg.max_len, cfg.n_heads, dh)
     return {
         "k": jnp.zeros(shape, dtype=dtype),
         "v": jnp.zeros(shape, dtype=dtype),
@@ -161,13 +157,17 @@ def tiny_gpt_decode_step(
     x = jnp.take(params["tok_emb"], token, axis=0)[:, None, :]  # (B, 1, D)
     x = x + jax.lax.dynamic_slice_in_dim(params["pos_emb"], pos, 1, axis=0)
 
-    # The cache stays ONE (depth, B, H, T, Dh) array updated in place with
+    # The cache stays ONE (depth, B, T, H, Dh) array updated in place with
     # a single-slot dynamic_update_slice per layer. The previous
     # jnp.stack(per-layer updated copies) rebuilt the full cache every
     # step — at bs=256 that is ~136 MB of pure write traffic per token on
     # top of attention's unavoidable read, which is what capped the
     # scan decoder at 676k tok/s in BENCH_r03. In-place DUS on a scan
     # carry aliases the buffer, so writes shrink to the new slot.
+    # Time-major (BLHD) layout: the new k/v land as (B, 1, H, Dh) straight
+    # off the qkv reshape, and attention runs layout='blhd' — no per-step
+    # head transposes on either the write or the read path (VERDICT r4
+    # item 9 / ROADMAP r5 #6).
     k_all, v_all = cache["k"], cache["v"]
     # valid[j] = (j <= pos): attend to filled cache slots plus ourselves.
     valid = (jnp.arange(t_len) <= pos)[None, None, None, :]  # (1,1,1,t_len)
@@ -176,20 +176,23 @@ def tiny_gpt_decode_step(
         h = layernorm_apply(blk["ln1"], x)
         qkv = linear_apply(blk["attn"]["qkv"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)  # (B,H,1,Dh)
-        k = k.reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(b, 1, cfg.n_heads, dh).transpose(0, 2, 1, 3)
+        q = q.reshape(b, 1, cfg.n_heads, dh)  # (B, 1, H, Dh) — no transpose
+        k = k.reshape(b, 1, cfg.n_heads, dh)
+        v = v.reshape(b, 1, cfg.n_heads, dh)
 
         k_all = jax.lax.dynamic_update_slice(
-            k_all, k[None].astype(k_all.dtype), (i, 0, 0, pos, 0)
+            k_all, k[None].astype(k_all.dtype), (i, 0, pos, 0, 0)
         )
         v_all = jax.lax.dynamic_update_slice(
-            v_all, v[None].astype(v_all.dtype), (i, 0, 0, pos, 0)
+            v_all, v[None].astype(v_all.dtype), (i, 0, pos, 0, 0)
         )
         attn = ops.attention(
-            q, k_all[i, :, :, :t_len], v_all[i, :, :, :t_len], mask=valid
-        )  # (B,H,1,Dh)
-        x = x + linear_apply(blk["attn"]["proj"], _merge_heads(attn))
+            q, k_all[i, :, :t_len], v_all[i, :, :t_len], mask=valid,
+            layout="blhd",
+        )  # (B, 1, H, Dh)
+        x = x + linear_apply(
+            blk["attn"]["proj"], attn.reshape(b, 1, cfg.dim)
+        )
         h = layernorm_apply(blk["ln2"], x)
         x = x + linear_apply(
             blk["mlp"]["proj"], jax.nn.gelu(linear_apply(blk["mlp"]["fc"], h))
