@@ -9,7 +9,7 @@
 #     yet on the curve)?
 #  W. Anchor weight sweep (run only if phase A beats the curve).
 #  X. 10x-corpus data-scaling test — the r4 frontier says the curve is
-#     dictated by corpus size; the hermetic corpus has only ~4.3 KB of
+#     dictated by corpus size; the hermetic corpus has only ~2.9 KB of
 #     UNIQUE text tiled to 1 MB. Train the key cells on a ~10x-unique
 #     public-domain corpus (tools/make_corpus_10x.py) tiled to the same
 #     1 MB (same steps/epoch; only unique content changes) and re-measure
