@@ -128,10 +128,12 @@ class TestAttentionParity:
             np.asarray(out), np.asarray(ref), **_attn_tol()
         )
 
-    def test_training_long_l_routes_to_flash(self, monkeypatch):
-        """With dropout active, L >= TRAIN_FLASH_MIN_L takes the flash
-        branch; below it the XLA branch is taken (the end-to-end routing
-        decision, pinned by spying on flash_attention)."""
+    def test_training_spilled_routes_to_flash(self, monkeypatch):
+        """With dropout active, a score footprint above TRAIN_SPILL_BYTES
+        takes the flash branch; below it the XLA branch is taken (the
+        end-to-end routing decision — round-5 mid-L production A/B,
+        docs/docs/assets/r5/layout_ab_midL_bf16.txt — pinned by spying on
+        flash_attention)."""
         calls = []
         real_flash = pallas_kernels.flash_attention
 
@@ -140,7 +142,8 @@ class TestAttentionParity:
             return real_flash(*a, **kw)
 
         monkeypatch.setattr(pallas_kernels, "flash_attention", spy)
-        monkeypatch.setattr(pallas_kernels, "TRAIN_FLASH_MIN_L", 320)
+        # (1,2,320,32) scores are ~0.8 MB; force the training spill on it.
+        monkeypatch.setattr(pallas_kernels, "TRAIN_SPILL_BYTES", 512 * 1024)
         key = jax.random.PRNGKey(3)
         shape = (1, 2, 320, 32)
         q = jax.random.normal(key, shape)
@@ -153,7 +156,9 @@ class TestAttentionParity:
         assert np.isfinite(np.asarray(out)).all()
         # Below the threshold the XLA branch is taken instead.
         calls.clear()
-        monkeypatch.setattr(pallas_kernels, "TRAIN_FLASH_MIN_L", 1024)
+        monkeypatch.setattr(
+            pallas_kernels, "TRAIN_SPILL_BYTES", 192 * 1024 * 1024
+        )
         pallas_kernels.attention(
             q, k, v, dropout_rate=0.5, dropout_key=jax.random.PRNGKey(7)
         )

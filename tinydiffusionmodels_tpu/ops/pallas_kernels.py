@@ -173,7 +173,7 @@ _attention_diffable.defvjp(_attention_diffable_fwd, _attention_diffable_bwd)
 # Module-level so tests can monkeypatch them to force the flash branch on
 # tiny shapes (ADVICE r4: the route tests must actually take the route).
 EVAL_SPILL_BYTES = 96 * 1024 * 1024
-TRAIN_FLASH_MIN_L = 1024
+TRAIN_SPILL_BYTES = 192 * 1024 * 1024
 
 
 def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
@@ -211,24 +211,33 @@ def attention(q, k, v, *, mask=None, dropout_rate: float = 0.0,
     # (2026-08-19, tools/layout_bench.py A/B, raw lines at
     # docs/docs/assets/r5/layout_ab_bf16.txt, chunk=50
     # scan): flash route 42.1 it/s vs XLA route 53.9 it/s (+28%) at a
-    # 33.5 MB score footprint. The isolated flash win (~100-300us) only
-    # out-pays the materialization tax when the per-sequence score tile
-    # itself is large, i.e. long L — so training routes to flash on
-    # SEQUENCE LENGTH (L >= 1024, where isolated flash wins by >1.6ms and
-    # the copies are amortized), not on total footprint; eval keeps the
-    # 96 MB spill threshold.
+    # 33.5 MB score footprint. Round 4 first re-encoded that as
+    # "training routes to flash on SEQUENCE LENGTH (L >= 1024)" from the
+    # isolated grad timings — WRONG in production too (ADVICE r4 item 2).
+    # The round-5 mid-L sweep ran the same production A/B at matched and
+    # long-L shapes (tools/layout_bench.py --route, raw lines at
+    # docs/docs/assets/r5/layout_ab_midL_bf16.txt, solo v5e-1
+    # 2026-08-19, it/s median XLA vs flash):
+    #   bs=512/L=64   33.5 MB  53.9 / 42.1   XLA +28%
+    #   bs=8/L=512    33.5 MB  428.8 / 376.1 XLA +14%
+    #   bs=2/L=1024     67 MB  593.1 / 555.2 XLA  +7%
+    #   bs=4/L=1024    134 MB  287.7 / 273.6 XLA  +5%
+    #   bs=8/L=1024    268 MB  142.8 / 151.9 flash +6%
+    # XLA's fused attention wins at EVERY on-chip shape, long-L included;
+    # flash only wins once the f32 score buffers genuinely spill. So
+    # training routes on FOOTPRINT like eval, with a 2x-later threshold
+    # (192 MB, between the measured 134 MB XLA-win and 268 MB flash-win
+    # points) because the backward's rematerialized score chain amortizes
+    # the custom-call tax later than the eval forward does.
     if layout == "blhd":
         b, l, h, dh = q.shape
     else:
         b, h, l, dh = q.shape
     score_bytes = b * h * l * l * 4
-    spill = score_bytes > EVAL_SPILL_BYTES
-    if dropout_rate > 0.0:
-        # Long-L OR spilled-footprint -> flash; otherwise the fused XLA
-        # path wins end-to-end (see measurement above).
-        route_xla = l < TRAIN_FLASH_MIN_L and not spill
-    else:
-        route_xla = not spill
+    spill_limit = (
+        TRAIN_SPILL_BYTES if dropout_rate > 0.0 else EVAL_SPILL_BYTES
+    )
+    route_xla = score_bytes <= spill_limit
     if route_xla:
         return xla_ref.attention(
             q, k, v, dropout_rate=dropout_rate, dropout_key=dropout_key,

@@ -32,12 +32,15 @@ _override: str | None = None
 #   87us) and is used below a 96 MB score-footprint threshold; above it
 #   (B8/L1024: XLA 571us vs flash ~190us) the Pallas flash kernel runs,
 #   and it is the only O(L)-memory path for long sequences. Training
-#   (dropout>0) routes on SEQUENCE LENGTH (flash at L>=1024 or spill):
-#   isolated-kernel timings said flash from ~8 MB of scores, but
-#   end-to-end the custom-call operand materialization costs more than
-#   the kernel win for batch-driven footprints — bs=512/L=64 bf16 train
-#   scan: 42.1 it/s (flash) vs 53.9 it/s (XLA), measured v5e-1 2026-08-19
-#   (see pallas_kernels.attention). Models pass layout='blhd' single-chip
+#   (dropout>0) routes on FOOTPRINT too, with a 2x-later 192 MB
+#   threshold: isolated-kernel timings said flash from ~8 MB of scores,
+#   but end-to-end the custom-call operand materialization costs more
+#   than the kernel win at every on-chip shape — bs=512/L=64 bf16 train
+#   scan 53.9 it/s (XLA) vs 42.1 (flash), and the round-5 mid-L sweep
+#   (bs=8/L=512 +14% XLA, bs=2/L=1024 +7%, bs=4/L=1024 +5%, bs=8/L=1024
+#   flash +6%; docs/docs/assets/r5/layout_ab_midL_bf16.txt), measured
+#   v5e-1 2026-08-19 (see pallas_kernels.attention). Models pass
+#   layout='blhd' single-chip
 #   so the head split is a free reshape, not a copy.
 # - fused_resblock: xla WINS at every production shape — e.g. 64->64@14x14
 #   B128: xla 19.9us = 186 TFLOP/s = 94% of v5e bf16 peak, vs pallas

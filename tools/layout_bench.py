@@ -1,6 +1,8 @@
-"""Measure the bs=512 bf16 text train step: blhd (copy-free) vs bhld layouts.
+"""Measure the bf16 text train step: layouts and attention-route A/Bs.
 
-Usage: python tools/layout_bench.py [blhd|bhld]   (run solo on the TPU)
+Usage: python tools/layout_bench.py [blhd|bhld] [--batch N] [--seq_len N]
+           [--dim N] [--chunk N] [--route auto|xla|flash]
+       (run solo on the TPU)
 
 Uses bench.py's own bench_text_train harness (scan-of-steps, chained
 timing) on the real TPU. The layout is selected inside models/transformer
@@ -9,6 +11,16 @@ monkeypatch _mha back to the BHLD head-split/merge transposes. This is the
 end-to-end A/B behind the mode-dependent attention routing decision
 (docs/.../2026-08-19-attention-layout-routing.md); measured lines are
 committed at docs/docs/assets/r5/layout_ab_bf16.txt (VERDICT r4 item 6).
+
+``--route`` forces the training attention route by overriding the
+ops.pallas_kernels thresholds, for validating the routing thresholds at
+mid-L shapes IN the production step (ADVICE r4: the round-4 L>=1024 rule
+was set from one end-to-end point at L=64 plus isolated grad timings).
+The round-5 sweep (bs=8/L=512, bs=2/4/8 x L=1024; raw lines at
+docs/docs/assets/r5/layout_ab_midL_bf16.txt) showed XLA wins every
+on-chip shape including long L, flash only wins once the f32 scores
+spill (268 MB yes, 134 MB no) — which set TRAIN_SPILL_BYTES=192 MB and
+deleted the L-based rule.
 """
 import statistics
 import sys
@@ -24,7 +36,24 @@ runtime.enable_compile_cache()
 
 import bench
 
-mode = sys.argv[1] if len(sys.argv) > 1 else "blhd"
+args = sys.argv[1:]
+mode = args.pop(0) if args and not args[0].startswith("--") else "blhd"
+opts = {"batch": 512, "seq_len": 64, "dim": 256, "chunk": 50,
+        "route": "auto"}
+while args:
+    flag = args.pop(0).lstrip("-")
+    opts[flag] = args.pop(0) if flag == "route" else int(args.pop(0))
+
+if opts["route"] != "auto":
+    import tinydiffusionmodels_tpu.ops.pallas_kernels as pk
+
+    if opts["route"] == "flash":
+        pk.TRAIN_SPILL_BYTES = 0
+        pk.EVAL_SPILL_BYTES = 0
+    else:  # xla
+        pk.TRAIN_SPILL_BYTES = 1 << 60
+        pk.EVAL_SPILL_BYTES = 1 << 60
+
 if mode == "bhld":
     # Force the old layout by pretending every config wants BHLD.
     import tinydiffusionmodels_tpu.models.transformer as tr
@@ -59,8 +88,10 @@ if mode == "bhld":
     tr._mha = _mha_bhld
 
 rates, flops = bench.bench_text_train(
-    batch_size=512, seq_len=64, dim=256, chunk=50,
-    compute_dtype=jnp.bfloat16,
+    batch_size=opts["batch"], seq_len=opts["seq_len"], dim=opts["dim"],
+    chunk=opts["chunk"], compute_dtype=jnp.bfloat16,
 )
 med = statistics.median(rates)
-print(f"LAYOUT={mode} it/s median={med:.1f} envelope={[round(r,1) for r in rates]} flops/step={flops}")
+shape = f"bs={opts['batch']} L={opts['seq_len']} dim={opts['dim']}"
+print(f"LAYOUT={mode} ROUTE={opts['route']} {shape} it/s median={med:.1f} "
+      f"envelope={[round(r, 1) for r in rates]} flops/step={flops}")
