@@ -2,6 +2,7 @@
 
 Usage: python tools/layout_bench.py [blhd|bhld] [--batch N] [--seq_len N]
            [--dim N] [--chunk N] [--route auto|xla|flash]
+           [--attn_rng counter|stock]
        (run solo on the TPU)
 
 Uses bench.py's own bench_text_train harness (scan-of-steps, chained
@@ -39,10 +40,11 @@ import bench
 args = sys.argv[1:]
 mode = args.pop(0) if args and not args[0].startswith("--") else "blhd"
 opts = {"batch": 512, "seq_len": 64, "dim": 256, "chunk": 50,
-        "route": "auto"}
+        "route": "auto", "attn_rng": "counter"}
 while args:
     flag = args.pop(0).lstrip("-")
-    opts[flag] = args.pop(0) if flag == "route" else int(args.pop(0))
+    opts[flag] = (args.pop(0) if flag in ("route", "attn_rng")
+                  else int(args.pop(0)))
 
 if opts["route"] != "auto":
     import tinydiffusionmodels_tpu.ops.pallas_kernels as pk
@@ -53,6 +55,16 @@ if opts["route"] != "auto":
     else:  # xla
         pk.TRAIN_SPILL_BYTES = 1 << 60
         pk.EVAL_SPILL_BYTES = 1 << 60
+
+if opts["attn_rng"] == "stock":
+    # A/B arm isolating the attention-weight dropout draw (VERDICT r4
+    # item 7): everything else stays on the counter path (TDM_FAST_NOISE
+    # untouched); only xla_ref's attention mask reverts to the stock
+    # bernoulli whose rng bits materialize to HBM. Same (key, keep_prob,
+    # shape) call signature.
+    import tinydiffusionmodels_tpu.ops.xla_ref as xr
+
+    xr.draw_keep = jax.random.bernoulli
 
 if mode == "bhld":
     # Force the old layout by pretending every config wants BHLD.
@@ -93,5 +105,6 @@ rates, flops = bench.bench_text_train(
 )
 med = statistics.median(rates)
 shape = f"bs={opts['batch']} L={opts['seq_len']} dim={opts['dim']}"
-print(f"LAYOUT={mode} ROUTE={opts['route']} {shape} it/s median={med:.1f} "
+print(f"LAYOUT={mode} ROUTE={opts['route']} ATTN_RNG={opts['attn_rng']} "
+      f"{shape} it/s median={med:.1f} "
       f"envelope={[round(r, 1) for r in rates]} flops/step={flops}")

@@ -227,7 +227,16 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=12)
     ap.add_argument("--program", default="mnist_train",
                     choices=sorted(_PROGRAMS))
+    ap.add_argument("--attn_rng", default="counter",
+                    choices=["counter", "stock"],
+                    help="stock: revert ONLY the attention-weight dropout "
+                         "draw to jax.random.bernoulli (A/B arm for the "
+                         "counter-based attention mask, VERDICT r4 item 7)")
     args = ap.parse_args()
+    if args.attn_rng == "stock":
+        import tinydiffusionmodels_tpu.ops.xla_ref as xr
+
+        xr.draw_keep = jax.random.bernoulli
     batches = [int(b) for b in args.batches.split(",")]
     prog = _PROGRAMS[args.program]
 
