@@ -131,11 +131,15 @@ def _chain_timeit(fn, x0, k1: int = 4, k2: int | None = None,
         t0 = time.perf_counter()
         _sync(run(8))
         per_call = (time.perf_counter() - t0) / 8
-        # 16..4096 extra calls: floor keeps slow fns honest; the cap only
-        # binds below ~0.15 ms/call where 4096 chained calls already give
-        # a >=0.6 s window. (A 512 cap left ~0.4 ms calls — guided decode
-        # bs=8 — at 0.2 s windows and >15% envelope spread.)
-        extra = max(16, min(4096, int(min_window_s / max(per_call, 1e-5))))
+        # Floor keeps slow fns honest; the cap bounds chain length but
+        # scales with the requested window (4096 at the 0.6 s default) so
+        # it only ever binds where the capped chain ALREADY fills
+        # min_window_s (~0.15 ms/call) — a fixed cap silently handed the
+        # new 2.5 s latency-bound callers 0.8 s windows for any fn faster
+        # than ~0.6 ms/call. (A 512 cap left ~0.4 ms calls — guided
+        # decode bs=8 — at 0.2 s windows and >15% envelope spread.)
+        cap = max(4096, int(4096 * min_window_s / 0.6))
+        extra = max(16, min(cap, int(min_window_s / max(per_call, 1e-5))))
         k2 = k1 + extra
     slopes = []
     for _ in range(windows):
@@ -392,11 +396,11 @@ def bench_guided_fused(n: int = 8, seq_len: int = 64) -> tuple[list, None]:
     guided decode as ONE kernel, weights VMEM-resident across positions.
     Same chained-delta timing as bench_guided for a like-for-like number.
     Batches beyond the kernel's VMEM capacity run as chunked sweeps
-    (fused_guided_decode_batched)."""
+    (chunk sweeps are built into fused_guided_decode)."""
     from tinydiffusionmodels_tpu.models import init_tiny_gpt
     from tinydiffusionmodels_tpu.models.ar_lm import TinyGPTConfig
     from tinydiffusionmodels_tpu.ops.decode_kernel import (
-        fused_guided_decode_batched,
+        fused_guided_decode,
     )
 
     cfg = TinyGPTConfig(vocab_size=4096, dim=256, n_heads=4, depth=4,
@@ -405,7 +409,7 @@ def bench_guided_fused(n: int = 8, seq_len: int = 64) -> tuple[list, None]:
     diff0 = jax.random.normal(jax.random.PRNGKey(1), (n, seq_len,
                                                       cfg.vocab_size))
     fn = jax.jit(
-        lambda d: fused_guided_decode_batched(params, cfg, d, 0, alpha=0.3)
+        lambda d: fused_guided_decode(params, cfg, d, 0, alpha=0.3)
     )
     secs = _chain_timeit(fn, diff0,
                          min_window_s=2.5 if n <= 8 else 0.6)
@@ -498,12 +502,15 @@ def _measure_with_retry(name: str, thunk, retry_log: dict,
         # window is the best estimate of the chip; contaminated windows
         # measure the neighbor's job. All attempts go to provenance.
         rates = max(attempts, key=lambda r: min(r) / _median(r))
-        retry_log[name] = {
+        # One entry per --repeat iteration (appended, not overwritten), so
+        # provenance keeps every repeat's retry evidence.
+        entry = {
             "retries": tries,
             "attempt_min_over_median": [
                 round(min(r) / _median(r), 3) for r in attempts
             ],
         }
+        retry_log.setdefault(name, []).append(entry)
         if not _spread_ok(rates):
             # Last-resort policy for latency-bound metrics whose raw
             # windows never tighten (VERDICT r4 item 4): each attempt's
@@ -513,8 +520,32 @@ def _measure_with_retry(name: str, thunk, retry_log: dict,
             med_rates = [_median(a) for a in attempts]
             if len(med_rates) >= 2 and _spread_ok(med_rates):
                 rates = med_rates
-                retry_log[name]["policy"] = "median_of_attempt_medians"
+                entry["policy"] = "median_of_attempt_medians"
     return rates, flops
+
+
+HEADLINE_METRIC = "shakespeare_train_it_s"
+
+
+def _run_validity(env: dict, solo_run: bool,
+                  headline: str = HEADLINE_METRIC):
+    """Run-level validity policy (VERDICT r4 item 4): each metric carries
+    its own valid flag (envelope tight after retries); the RUN is valid
+    iff it was solo and the HEADLINE metric is tight. A loose secondary
+    metric is individually flagged instead of poisoning the whole line
+    (BENCH_r04 was valid:false on the strength of one loose
+    guided_tokens_s envelope). Returns (metric_valid, loose, reasons) —
+    this is the single source of truth main() emits from, so the policy
+    test exercises the same code path as the JSON line."""
+    metric_valid = {n: _spread_ok(v) for n, v in env.items()}
+    loose = sorted(n for n, ok in metric_valid.items() if not ok)
+    reasons = []
+    if not solo_run:
+        reasons.append("host not solo (load average >= 50% of cores)")
+    if not metric_valid.get(headline, True):
+        reasons.append("headline envelope min >15% below median "
+                       "after retries")
+    return metric_valid, loose, reasons
 
 
 def _provenance(load_start) -> dict:
@@ -584,20 +615,7 @@ def main() -> None:
         for name, v in env.items()
     }
     prov = _provenance(load_start)
-    # Self-validation (VERDICT r3 item 3, refined per r4 item 4): each
-    # metric carries its own valid flag (envelope tight after retries);
-    # the RUN is valid iff it was solo and the HEADLINE metric is tight.
-    # A loose secondary metric is individually flagged instead of
-    # poisoning the whole line (BENCH_r04 was valid:false on the strength
-    # of one loose guided_tokens_s envelope).
-    metric_valid = {n: _spread_ok(v) for n, v in env.items()}
-    loose = sorted(n for n, ok in metric_valid.items() if not ok)
-    reasons = []
-    if not prov["solo_run"]:
-        reasons.append("host not solo (load average >= 50% of cores)")
-    if not metric_valid.get("shakespeare_train_it_s", True):
-        reasons.append("headline envelope min >15% below median "
-                       "after retries")
+    metric_valid, loose, reasons = _run_validity(env, prov["solo_run"])
     prov["retries"] = retry_log
     _emit(args, r, mfu, envelope, backend, device_kind, peak, prov,
           valid=not reasons, invalid_reasons=reasons,
@@ -630,8 +648,6 @@ def _run_suite(args, record, retry_log) -> None:
         # r4's re-draft pipeline was 4x slower than the scan it wrapped).
         ("guided_verified_tokens_s_bs8",
          lambda: bench_guided_verified(n=8)),
-        ("guided_verified_tokens_s_bs256",
-         lambda: bench_guided_verified(n=256)),
         # The round-4 speculative pipeline, re-measured with Jacobi
         # verification (draft scan runs ONCE; refinement rounds are
         # parallel verify forwards instead of sequential re-draft scans).
@@ -651,6 +667,24 @@ def _run_suite(args, record, retry_log) -> None:
     for name, thunk in suite:
         rate, flops = _measure_with_retry(name, thunk, retry_log)
         record(name, rate, flops)
+        if name == "guided_tokens_s_bs256":
+            # guided_generate_verified(draft="auto") routes bs=256 to the
+            # plain f32 scan whenever the fused kernel's VMEM check fails
+            # — the IDENTICAL computation just timed. Alias those windows
+            # instead of paying a second 5-window measurement of the same
+            # graph (and so guided_exact_best isn't a max over two noisy
+            # medians of one quantity). If the routing ever flips (bigger
+            # VMEM / smaller model), measure the fused entry for real.
+            from tinydiffusionmodels_tpu.models.ar_lm import TinyGPTConfig
+            from tinydiffusionmodels_tpu.ops.decode_kernel import fits_vmem
+
+            cfg = TinyGPTConfig(vocab_size=4096, dim=256, n_heads=4,
+                                depth=4, max_len=65)
+            if fits_vmem(cfg, 256, cfg.vocab_size):
+                rate, flops = _measure_with_retry(
+                    "guided_verified_tokens_s_bs256",
+                    lambda: bench_guided_verified(n=256), retry_log)
+            record("guided_verified_tokens_s_bs256", rate, flops)
 
 
 def _emit(args, r, mfu, envelope, backend, device_kind, peak,

@@ -56,8 +56,8 @@ class TestMeasureWithRetry:
         rates, _ = bench._measure_with_retry(
             "m", thunk, log, max_retries=2)
         assert rates == [98.0, 100.0, 101.0]
-        assert log["m"]["retries"] == 1
-        assert "policy" not in log["m"]
+        assert log["m"][-1]["retries"] == 1
+        assert "policy" not in log["m"][-1]
 
     def test_median_of_attempt_medians_fallback(self, monkeypatch):
         monkeypatch.setattr(bench, "_wait_for_quiet", lambda *_: True)
@@ -72,7 +72,7 @@ class TestMeasureWithRetry:
         rates, _ = bench._measure_with_retry(
             "m", lambda: next(attempts), log, max_retries=2)
         assert rates == [100.0, 98.0, 101.0]
-        assert log["m"]["policy"] == "median_of_attempt_medians"
+        assert log["m"][-1]["policy"] == "median_of_attempt_medians"
         assert bench._spread_ok(rates)
 
     def test_fallback_needs_agreeing_medians(self, monkeypatch):
@@ -86,22 +86,36 @@ class TestMeasureWithRetry:
         log = {}
         rates, _ = bench._measure_with_retry(
             "m", lambda: next(attempts), log, max_retries=2)
-        assert "policy" not in log["m"]
+        assert "policy" not in log["m"][-1]
         assert rates == [50.0, 100.0, 102.0]  # tightest min/median ratio
 
 
 class TestRunValidity:
-    """The run-level flag mirrors main()'s policy: solo + tight headline."""
+    """Pins bench._run_validity — the function main() emits from, so a
+    regression to the old any-loose-metric-poisons-the-run behavior (or a
+    broken headline reason) fails here (VERDICT r4 item 4)."""
 
     def test_loose_secondary_flagged_not_fatal(self):
         env = {
             "shakespeare_train_it_s": [100.0, 101.0, 99.0],
             "guided_tokens_s": [50.0, 100.0, 101.0],
         }
-        metric_valid = {n: bench._spread_ok(v) for n, v in env.items()}
+        metric_valid, loose, reasons = bench._run_validity(env, True)
         assert metric_valid["shakespeare_train_it_s"]
         assert not metric_valid["guided_tokens_s"]
-        loose = [n for n, ok in metric_valid.items() if not ok]
         assert loose == ["guided_tokens_s"]
-        # Headline tight -> no validity reason from envelopes.
-        assert metric_valid.get("shakespeare_train_it_s", True)
+        # Headline tight + solo -> run valid despite the loose secondary.
+        assert reasons == []
+
+    def test_loose_headline_invalidates_run(self):
+        env = {"shakespeare_train_it_s": [50.0, 100.0, 101.0]}
+        metric_valid, loose, reasons = bench._run_validity(env, True)
+        assert not metric_valid["shakespeare_train_it_s"]
+        assert loose == ["shakespeare_train_it_s"]
+        assert any("headline" in r for r in reasons)
+
+    def test_not_solo_invalidates_run(self):
+        env = {"shakespeare_train_it_s": [100.0, 101.0, 99.0]}
+        _, loose, reasons = bench._run_validity(env, False)
+        assert loose == []
+        assert any("solo" in r for r in reasons)

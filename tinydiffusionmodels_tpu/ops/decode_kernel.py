@@ -20,11 +20,11 @@ run in-kernel, so the only outputs are the (B, L) token ids.
 Weights are cast to bf16 for VMEM residency (f32 LN/softmax/accumulation);
 ``fused_guided_decode`` is therefore a *draft*-exact path: near-identical
 to the f32 scan decoder but not bit-guaranteed. ``guided_generate_verified``
-(sample/guided.py) wraps it with an exact f32 teacher-forced verification
-pass — speculative-decoding style — so the end-to-end result is the exact
-greedy fixpoint of the f32 full-context forward: the same graph the
-reference's per-token full-prefix loop computes
-(src/shakespeare.py:445-470), at fused speed.
+(sample/guided.py) refines it by Jacobi fixpoint iteration on the exact
+f32 teacher-forced forward, so the end-to-end result is the exact greedy
+fixpoint of the f32 full-context forward: the same graph the reference's
+per-token full-prefix loop computes (src/shakespeare.py:445-470), at
+fused speed.
 
 Capacity: TinyGPT(dim=256, depth=4) bf16 weights ~6.3 MB + f32 KV cache +
 embeddings fits the ~16 MB VMEM for vocab sizes up to a few thousand;
@@ -65,7 +65,7 @@ def _matmul(x, w_ref, b_ref=None):
 
 
 def _decode_kernel(
-    bos_ref,            # SMEM (2,) int32: [bos, start]
+    bos_ref,            # SMEM (1,) int32: [bos]
     tok_emb_ref,        # (V, D) bf16
     pos_emb_ref,        # (1, 1, D) bf16 — this position's row (streamed)
     lnf_w_ref, lnf_b_ref,
@@ -73,7 +73,6 @@ def _decode_kernel(
     diff_ref,           # (1, 1, B, V) bf16 — this (chunk, position)'s
                         # diffusion logits (draft-only precision;
                         # verification reruns the mix in f32)
-    forced_ref,         # (1, 1, 1, B) int32 — committed token (streamed)
     *layer_refs,        # per layer: ln1w ln1b qkvw qkvb projw projb
                         #            ln2w ln2b fcw fcb mlpw mlpb
                         # then outputs/scratch: tokens_ref, cur_tok, kc, vc
@@ -209,9 +208,6 @@ def _decode_kernel(
         best_idx = jnp.where(take, cidx, best_idx)
         best_val = jnp.maximum(best_val, cmax)
     nxt = best_idx[None, :]  # (1, B)
-    # Teacher-forcing for verified re-drafts: positions < start replay the
-    # committed tokens (the forward still runs — it must fill the cache).
-    nxt = jnp.where(pos < bos_ref[1], forced_ref[0, 0], nxt)
     cur_tok[:] = nxt
     tokens_ref[0, 0] = nxt
 
@@ -283,24 +279,6 @@ def fused_guided_decode(
     with the f32 scan path. Batches beyond one chunk's VMEM capacity run
     as sequential chunk sweeps inside the same kernel (grid=(chunks, L))
     so the weights are still fetched exactly once."""
-    return _fused_guided_decode_batched_impl(
-        params, cfg, diff_logits_all, bos_token,
-        jnp.zeros((), jnp.int32),
-        jnp.zeros(diff_logits_all.shape[:2], jnp.int32),
-        alpha=alpha, temperature=temperature, normalize=normalize,
-    )
-
-
-# bench.py / routing-facing alias: chunking is built in.
-fused_guided_decode_batched = fused_guided_decode
-
-
-def _fused_guided_decode_batched_impl(
-    params, cfg, diff_logits_all, bos_token, start, forced, *,
-    alpha, temperature, normalize,
-):
-    """``start``/``forced``: teacher-force positions < start to the
-    committed ``forced`` tokens (guided_generate_verified's re-drafts)."""
     b, seq_len, vocab = diff_logits_all.shape
     d = cfg.dim
     dh = d // cfg.n_heads
@@ -310,20 +288,14 @@ def _fused_guided_decode_batched_impl(
     b_pad = n_chunks * c_sz
 
     diff_op = jnp.asarray(diff_logits_all, jnp.bfloat16)
-    forced_op = jnp.asarray(forced, jnp.int32)
     if b_pad != b:
         diff_op = jnp.pad(diff_op, ((0, b_pad - b), (0, 0), (0, 0)))
-        forced_op = jnp.pad(forced_op, ((0, b_pad - b), (0, 0)))
     # (B, L, V) -> (C, L, c, V): chunk-major so each streamed block's last
     # two dims are the FULL (c, V) — Mosaic's block-tiling rule forbids a
     # partial row in the last two positions.
     diff_op = diff_op.reshape(n_chunks, c_sz, seq_len, vocab).transpose(
         0, 2, 1, 3
     )
-    # (B, L) -> (C, L, 1, c)
-    forced_op = forced_op.reshape(n_chunks, c_sz, seq_len).transpose(
-        0, 2, 1
-    )[:, :, None, :]
 
     const = lambda ref_shape: pl.BlockSpec(
         ref_shape, lambda c, i: tuple(0 for _ in ref_shape),
@@ -352,8 +324,6 @@ def _fused_guided_decode_batched_impl(
     in_specs += [
         pl.BlockSpec((1, 1, c_sz, vocab), lambda c, i: (c, i, 0, 0),
                      memory_space=pltpu.VMEM),              # diff row
-        pl.BlockSpec((1, 1, 1, c_sz), lambda c, i: (c, i, 0, 0),
-                     memory_space=pltpu.VMEM),              # forced token
     ]
     in_specs += [const(w.shape) for w in weights]
 
@@ -394,11 +364,9 @@ def _fused_guided_decode_batched_impl(
         ),
         interpret=_interpret(),
     )(
-        jnp.stack([jnp.asarray(bos_token, jnp.int32),
-                   jnp.asarray(start, jnp.int32)]),
+        jnp.asarray(bos_token, jnp.int32).reshape(1),
         *operands,
         diff_op,
-        forced_op,
         *weights,
     )
     # (C, L, 1, c) -> (B, L)

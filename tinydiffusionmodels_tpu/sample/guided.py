@@ -137,20 +137,17 @@ def _scan_bf16_draft(
     cfg,
     diff_logits_all: jax.Array,
     bos_token: int,
-    start: jax.Array,
-    committed: jax.Array,
     *,
     alpha: float,
     temperature: float,
     normalize: bool,
 ) -> jax.Array:
     """Large-batch draft decoder: KV-cached scan with bf16 weights + bf16
-    cache and teacher-forcing of positions < start (guided_generate_verified
-    re-drafts; ``start`` may be scalar or per-row (B,)). Attention re-reads
-    the filled cache prefix every position — the dominant HBM term at large
-    B — so bf16 (halves bytes/slot) plus the segmented growing attention
-    window (halves slots re-read at L=64) cut it ~4x vs the plain f32 scan;
-    draft-only precision, the f32 verification pass restores exactness."""
+    cache. Attention re-reads the filled cache prefix every position — the
+    dominant HBM term at large B — so bf16 (halves bytes/slot) plus the
+    segmented growing attention window (halves slots re-read at L=64) cut
+    it ~4x vs the plain f32 scan; draft-only precision, the Jacobi f32
+    verification pass restores exactness."""
     from tinydiffusionmodels_tpu.models.ar_lm import (
         tiny_gpt_decode_step,
         tiny_gpt_init_cache,
@@ -172,7 +169,6 @@ def _scan_bf16_draft(
                 alpha, temperature, normalize=normalize,
             )
             nxt = jnp.argmax(mixed, axis=-1).astype(jnp.int32)
-            nxt = jnp.where(pos < start, committed[:, pos], nxt)
             return (cache, nxt), nxt
         return step
 
@@ -286,7 +282,6 @@ def guided_generate_verified(
         )
         tokens0 = _scan_bf16_draft(
             params16, cfg, diff_logits_all.astype(jnp.bfloat16), bos_token,
-            jnp.zeros((b,), jnp.int32), jnp.zeros((b, seq_len), jnp.int32),
             alpha=alpha, temperature=temperature, normalize=normalize,
         )
     elif draft == "fused":

@@ -771,8 +771,6 @@ def main() -> None:
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(corpus)
     # Base-corpus comparison for the journal post.
-    from tinydiffusionmodels_tpu.data.shakespeare import _fallback_corpus
-
     base_unique = "\n\n".join(_FALLBACK_PASSAGES)
     stats["base_unique_chars"] = len(base_unique)
     stats["unique_ratio"] = round(stats["unique_chars"] / len(base_unique), 2)
